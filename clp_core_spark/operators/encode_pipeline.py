@@ -1,0 +1,227 @@
+"""Parse -> encode stage: text -> (logtype_id, encoded_vars[], var_types[]).
+
+Spark-first layout of CLP's ``Archive::write_msg`` path
+(clp/streaming_archive/writer/Archive.cpp:299-316 +
+clp/EncodedVariableInterpreter.cpp:206-225):
+
+1. A vectorized Arrow pandas UDF (tokenizer.tokenize_frame) extracts the
+   logtype template + typed variables per turn.
+2. The logtype dictionary is built by distributed distinct + dense-ID
+   assignment and broadcast back (CLP's premise: templates << data).
+3. Dictionary variables are resolved to IDs either by broadcasting the
+   var dict into the Arrow batch (small dicts — no shuffle) or by
+   explode -> shuffle join -> regroup (dicts beyond driver/executor
+   memory). Auto-selected by dict size, like AQE picks join strategies.
+
+The encoded row keeps CLP's exact representation: ``encoded_vars[i]`` is
+the int value, the 64-bit float packing, or the var-dict ID, disambiguated
+by the placeholder sequence in the logtype (equivalently ``var_types``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clp_core_spark.functions.tokenizer import VT_DICT
+from clp_core_spark.operators import dictionaries
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("logtype", StringType()),
+        StructField("var_strs", ArrayType(StringType())),
+        StructField("var_types", ArrayType(IntegerType())),
+        StructField("encoded", ArrayType(LongType())),
+        StructField("dict_strs", ArrayType(StringType())),
+    ]
+)
+
+# Above this many distinct dictionary variables, resolve IDs via shuffle
+# join instead of broadcasting the dict into the Arrow batches.
+BROADCAST_VAR_DICT_MAX = 2_000_000
+
+
+@pandas_udf(PARSED_SCHEMA)
+def _parse_udf(texts: pd.Series) -> pd.DataFrame:
+    from clp_core_spark.functions.tokenizer import tokenize_frame
+
+    out = tokenize_frame(texts)
+    # Arrow needs plain lists (not numpy scalars) in nested columns.
+    out["var_types"] = out["var_types"].map(lambda xs: [int(x) for x in xs])
+    out["encoded"] = out["encoded"].map(lambda xs: [int(x) for x in xs])
+    return out
+
+
+def parse(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append parsed columns (logtype, var_strs, var_types, encoded,
+    dict_strs) to ``df``."""
+    parsed = df.withColumn("_parsed", _parse_udf(F.col(text_col)))
+    return parsed.select("*", "_parsed.*").drop("_parsed")
+
+
+def resolve_dict_ids(
+    parsed: DataFrame,
+    var_dict: DataFrame,
+    key_cols: list[str],
+    broadcast_threshold: int = BROADCAST_VAR_DICT_MAX,
+    var_dict_count: int | None = None,
+) -> DataFrame:
+    """Replace each dict-var slot of ``encoded`` (which holds the row-local
+    dict ordinal after parse) with the global var-dict ID.
+
+    Returns ``parsed`` with ``encoded`` finalized and a ``dict_ids``
+    array column (the row's var-dict IDs in order of appearance).
+    """
+    if var_dict_count is None:
+        var_dict_count = var_dict.count()
+
+    if var_dict_count <= broadcast_threshold:
+        # Broadcast strategy: ship {var_str -> id} into the Arrow batches;
+        # a single vectorized pd.Series.map per batch, zero shuffle.
+        spark = parsed.sparkSession
+        mapping = {r["var_str"]: r["var_id"] for r in var_dict.collect()}
+        bc = spark.sparkContext.broadcast(mapping)
+
+        @pandas_udf(ArrayType(LongType()))
+        def _lookup(dict_strs: pd.Series) -> pd.Series:
+            m = bc.value
+            flat = dict_strs.explode()
+            mask = flat.notna()
+            ids = flat[mask].map(m)
+            out = pd.Series([[] for _ in range(len(dict_strs))], index=dict_strs.index,
+                            dtype=object)
+            if mask.any():
+                grouped = ids.groupby(level=0).agg(lambda s: [int(x) for x in s])
+                out.update(grouped)
+            return out
+
+        resolved = parsed.withColumn("dict_ids", _lookup(F.col("dict_strs")))
+    else:
+        # Shuffle strategy: explode dict vars with position, equi-join the
+        # dict table on the string, regroup ordered by position.
+        ex = parsed.select(
+            *key_cols, F.posexplode("dict_strs").alias("_pos", "var_str")
+        )
+        joined = ex.join(var_dict, "var_str", "left")
+        regrouped = joined.groupBy(*key_cols).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "var_id"))),
+                lambda s: s["var_id"],
+            ).alias("dict_ids")
+        )
+        resolved = parsed.join(regrouped, key_cols, "left").withColumn(
+            "dict_ids", F.coalesce("dict_ids", F.array().cast("array<long>"))
+        )
+
+    # Merge: dict slots in `encoded` hold the row-local ordinal; swap in the
+    # global ID. zip_with stays entirely in the JVM.
+    merged = resolved.withColumn(
+        "encoded_vars",
+        F.zip_with(
+            "encoded",
+            "var_types",
+            lambda v, t: F.when(
+                t == F.lit(VT_DICT), F.element_at("dict_ids", (v + 1).cast("int"))
+            ).otherwise(v),
+        ),
+    )
+    return merged.drop("encoded")
+
+
+def encode(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    existing_logtype_dict: DataFrame | None = None,
+    existing_var_dict: DataFrame | None = None,
+    keep_text: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full parse->encode. Returns (encoded_df, logtype_dict, var_dict).
+
+    ``encoded_df`` columns: key_cols + passthrough + logtype_id,
+    encoded_vars (array<long>), var_types (array<int>), n_vars.
+    """
+    parsed = parse(df, text_col=text_col)
+    # Parse once, feed three consumers (logtype dict, var dict, encode join).
+    parsed = parsed.persist()
+
+    logtype_dict = dictionaries.build_logtype_dict(parsed, existing_logtype_dict)
+    var_dict = dictionaries.build_var_dict(parsed, existing_var_dict)
+    logtype_dict = logtype_dict.persist()
+    var_dict = var_dict.persist()
+
+    with_ids = resolve_dict_ids(parsed, var_dict, key_cols)
+    encoded = with_ids.join(F.broadcast(logtype_dict), "logtype")
+
+    drop_cols = ["logtype", "var_strs", "dict_strs", "dict_ids"]
+    if not keep_text:
+        drop_cols.append(text_col)
+    encoded = encoded.withColumn("n_vars", F.size("encoded_vars")).drop(*drop_cols)
+    return encoded, logtype_dict, var_dict
+
+
+def decode(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    key_cols: list[str],
+    out_col: str = "decoded_text",
+    broadcast_threshold: int = BROADCAST_VAR_DICT_MAX,
+) -> DataFrame:
+    """Inverse of :func:`encode` — reconstruct the original message
+    (clp/EncodedVariableInterpreter.cpp:298-367). Used by the roundtrip
+    equality gate and the decompress-to-text sink."""
+    df = encoded.join(F.broadcast(logtype_dict), "logtype_id")
+
+    # Resolve dict-var IDs back to strings, in order of appearance.
+    pairs = F.filter(
+        F.arrays_zip("encoded_vars", "var_types"), lambda s: s["var_types"] == VT_DICT
+    )
+    df = df.withColumn("_dict_ids", F.transform(pairs, lambda s: s["encoded_vars"]))
+
+    var_count = var_dict.count()
+    if var_count <= broadcast_threshold:
+        spark = encoded.sparkSession
+        mapping = {r["var_id"]: r["var_str"] for r in var_dict.collect()}
+        bc = spark.sparkContext.broadcast(mapping)
+
+        @pandas_udf(ArrayType(StringType()))
+        def _ids_to_strs(ids: pd.Series) -> pd.Series:
+            m = bc.value
+            return ids.map(lambda xs: [m.get(int(x)) for x in xs])
+
+        df = df.withColumn("dict_strs", _ids_to_strs(F.col("_dict_ids")))
+    else:
+        ex = df.select(*key_cols, F.posexplode("_dict_ids").alias("_pos", "var_id"))
+        joined = ex.join(var_dict, "var_id", "left")
+        regrouped = joined.groupBy(*key_cols).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "var_str"))),
+                lambda s: s["var_str"],
+            ).alias("dict_strs")
+        )
+        df = df.join(regrouped, key_cols, "left").withColumn(
+            "dict_strs", F.coalesce("dict_strs", F.array().cast("array<string>"))
+        )
+
+    @pandas_udf(StringType())
+    def _decode_udf(logtype: pd.Series, encoded_vars: pd.Series, dict_strs: pd.Series) -> pd.Series:
+        from clp_core_spark.functions.tokenizer import decode_frame
+
+        enc = encoded_vars.map(lambda xs: [] if xs is None else list(xs))
+        ds = dict_strs.map(lambda xs: [] if xs is None else list(xs))
+        return decode_frame(logtype, enc, ds).astype(str)
+
+    return df.withColumn(
+        out_col, _decode_udf(F.col("logtype"), F.col("encoded_vars"), F.col("dict_strs"))
+    ).drop("_dict_ids", "dict_strs")
