@@ -1,0 +1,89 @@
+"""Fan-out routing of encoded rows to per-sink tables.
+
+GLT's logtype-grouped storage (glt/streaming_archive/writer/LogtypeTable.hpp:13-80,
+docs/src/user-guide/core-unstructured/glt.md:6-7) expressed as table
+partitioning: sinks are partitioned parquet tables (Iceberg-style layout)
+by role, tool, and logtype-class. Writes are salted-repartitioned to
+break conv_id skew (CLP analog: oversized filename groups split across
+archives, scheduler/compress/partition.py:99-138) and sorted within
+partitions by (conv_id, turn_idx) for stable turn ordering (CLP files are
+ordered into segments by (group, end_ts, path),
+clp/streaming_archive/writer/Archive.hpp:199-226).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SINK_KINDS = ("role", "tool", "logtype_class")
+DEFAULT_SALT_BUCKETS = 16
+
+
+def with_logtype_class(df: DataFrame, logtype_col: str = "logtype") -> DataFrame:
+    """Sink class = first alphabetic word of the logtype template,
+    lowercased; constant-less templates fall into 'other'.
+
+    (GLT groups whole tables by logtype ID; a bounded class keyspace is
+    the partition-friendly version — low-cardinality, stable, prunable.)
+    """
+    first_word = F.lower(F.regexp_extract(F.col(logtype_col), r"[A-Za-z]+", 0))
+    return df.withColumn(
+        "logtype_class", F.when(first_word == "", "other").otherwise(first_word)
+    )
+
+
+def salted(
+    df: DataFrame,
+    partitions: int,
+    *cols: str,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+):
+    """Repartition by (cols..., salt) — the salt is derived from
+    high-cardinality row identity, so hot partition keys (skewed conv_ids,
+    or the 45%-of-rows 'user' role sink) split across ``salt_buckets``
+    tasks while rows stay co-located per (key, salt)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
+    return df.repartition(partitions, *([F.col(c) for c in cols] + [salt]))
+
+
+def route(
+    encoded: DataFrame,
+    sinks_root: str,
+    partitions: int = 32,
+    order_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> dict[str, str]:
+    """Write the three sink families under ``sinks_root`` and return
+    {sink_kind: path}. Each is a partitioned parquet table; partition
+    overwrite mode is dynamic, so per-partition rewrites are idempotent
+    (retry/resume safe)."""
+    paths = {}
+    for kind in SINK_KINDS:
+        path = f"{sinks_root}/by_{kind}"
+        out = encoded.withColumn(kind, F.coalesce(F.col(kind), F.lit("__null__")))
+        (
+            salted(out, partitions, kind)
+            .sortWithinPartitions(*order_cols)
+            .write.mode("overwrite")
+            .partitionBy(kind)
+            .parquet(path)
+        )
+        paths[kind] = path
+    return paths
+
+
+def sink_counts(encoded: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts (the BASELINE equality gate):
+    one row per (sink_kind, sink_key)."""
+    parts = []
+    for kind in SINK_KINDS:
+        parts.append(
+            encoded.groupBy(F.coalesce(F.col(kind), F.lit("__null__")).alias("sink_key"))
+            .agg(F.count("*").alias("row_count"))
+            .withColumn("sink_kind", F.lit(kind))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("sink_kind", "sink_key", "row_count")

@@ -1,0 +1,536 @@
+"""Dictionary-encoded search — CLP's search-without-decompression
+(clp/Grep.cpp:499-628, clp/Query.cpp) as a driver-side query compiler that
+emits Spark predicates over the encoded table.
+
+Pipeline per query:
+
+1. Wrap in ``*...*``, clean up wildcards (string_utils.cpp:132-167).
+2. Tokenize wildcard-aware (Grep::get_bounds_of_next_potential_var,
+   Grep.cpp:630-748).
+3. Enumerate every combination of ambiguous token types (odometer over
+   possible types, Grep.cpp:557-615) -> one SubQuery each.
+4. Per SubQuery: build a logtype *wildcard pattern* + query-variable
+   constraints (generate_logtypes_and_vars_for_subquery, Grep.cpp:409-496;
+   process_var_token, Grep.cpp:315-372), probe the broadcastable logtype /
+   var dictionaries with the pattern (dictionary-first evaluation — empty
+   candidate set prunes the subquery before any data scan), and emit:
+   ``logtype_id IN (...) AND vars-ordered-subsequence(...)``.
+5. Execute: OR of subquery predicates, logtype-ID pushdown first; rows
+   matched only by verify-required subqueries are decoded and re-checked
+   with the original wildcard pattern (Grep.cpp:935-951) — the decode UDF
+   runs only on that residue.
+
+The encoded-domain semantics (ordered, non-contiguous subsequence over
+``encoded_vars``) mirror clp/Query.cpp:150-173; the subsequence automaton
+is a JVM-side ``aggregate`` over the array — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from clp_core_spark.functions import encoder
+from clp_core_spark.functions.tokenizer import (
+    ESCAPE_CHAR,
+    PLACEHOLDER_DICT,
+    PLACEHOLDER_FLOAT,
+    PLACEHOLDER_INT,
+)
+from clp_core_spark.functions.wildcard import (
+    clean_up_wildcard_search_string,
+    is_wildcard,
+    wildcard_to_regex,
+)
+
+_PLACEHOLDERS = (PLACEHOLDER_INT, PLACEHOLDER_DICT, PLACEHOLDER_FLOAT)
+_TOKEN_CHARS = set("+-.0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ\\_abcdefghijklmnopqrstuvwxyz")
+
+# QueryToken types (Grep.cpp:63-71)
+T_WILDCARD = "wildcard"
+T_LOGTYPE = "logtype"
+T_DICT = "dict"
+T_FLOAT = "float"
+T_INT = "int"
+
+
+def _is_delim(c: str) -> bool:
+    return c not in _TOKEN_CHARS
+
+
+def _is_decimal_digit(c: str) -> bool:
+    return "0" <= c <= "9"
+
+
+def _is_alphabet(c: str) -> bool:
+    return ("a" <= c <= "z") or ("A" <= c <= "Z")
+
+
+def _could_be_multi_digit_hex(s: str) -> bool:
+    return len(s) >= 2 and all(
+        ("a" <= c <= "f") or ("A" <= c <= "F") or ("0" <= c <= "9") for c in s
+    )
+
+
+def _int_encodable(s: str) -> bool:
+    import pandas as pd
+
+    m, _ = encoder.classify_encode_int(pd.Series([s]))
+    return bool(m.iloc[0])
+
+
+def _float_encodable(s: str) -> bool:
+    import pandas as pd
+
+    m, _ = encoder.classify_encode_float(pd.Series([s]))
+    return bool(m.iloc[0])
+
+
+def get_bounds_of_next_potential_var(value: str, begin_pos: int, end_pos: int):
+    """Port of Grep.cpp:630-748 (heuristic path). Returns
+    (found, begin_pos, end_pos, is_var)."""
+    n = len(value)
+    if end_pos >= n:
+        return False, begin_pos, end_pos, False
+
+    is_var = False
+    contains_wildcard = False
+    while (not is_var) and (not contains_wildcard) and begin_pos < n:
+        begin_pos = end_pos
+        # Find next wildcard or non-delimiter
+        is_escaped = False
+        while begin_pos < n:
+            c = value[begin_pos]
+            if is_escaped:
+                is_escaped = False
+                if not _is_delim(c):
+                    begin_pos -= 1  # retain the escape character
+                    break
+            elif c == "\\":
+                is_escaped = True
+            else:
+                if is_wildcard(c):
+                    contains_wildcard = True
+                    break
+                if not _is_delim(c):
+                    break
+            begin_pos += 1
+
+        contains_decimal_digit = False
+        contains_alphabet = False
+        is_escaped = False
+        end_pos = begin_pos
+        while end_pos < n:
+            c = value[end_pos]
+            if is_escaped:
+                is_escaped = False
+                if _is_delim(c):
+                    end_pos -= 1  # retain the escape character
+                    break
+            elif c == "\\":
+                is_escaped = True
+            else:
+                if is_wildcard(c):
+                    contains_wildcard = True
+                elif _is_delim(c):
+                    break
+            if _is_decimal_digit(c):
+                contains_decimal_digit = True
+            elif _is_alphabet(c):
+                contains_alphabet = True
+            end_pos += 1
+
+        variable = value[begin_pos:end_pos]
+        if contains_decimal_digit or _could_be_multi_digit_hex(variable):
+            is_var = True
+        elif begin_pos > 0 and value[begin_pos - 1] == "=" and contains_alphabet:
+            # no wildcard between '=' and the first alphabet (Grep.cpp:718-740)
+            is_escaped = False
+            found_wildcard_before_alphabet = False
+            for i in range(begin_pos, end_pos):
+                c = value[i]
+                if is_escaped:
+                    is_escaped = False
+                    if _is_alphabet(c):
+                        break
+                elif c == "\\":
+                    is_escaped = True
+                elif is_wildcard(c):
+                    found_wildcard_before_alphabet = True
+                    break
+                elif _is_alphabet(c):
+                    break
+            if not found_wildcard_before_alphabet:
+                is_var = True
+
+    return (begin_pos != n), begin_pos, end_pos, is_var
+
+
+class QueryToken:
+    """Port of the QueryToken classification (Grep.cpp:92-172)."""
+
+    def __init__(self, query_string: str, begin_pos: int, end_pos: int, is_var: bool):
+        self.begin_pos, self.end_pos = begin_pos, end_pos
+        self.value = query_string[begin_pos:end_pos]
+        self.cannot_convert_to_non_dict_var = False
+        self.current_ix = 0
+        v = self.value
+        if v == "*":
+            self.has_prefix_star, self.has_suffix_star, self.has_mid_star = True, False, False
+            self.contains_wildcards = True
+            self.possible_types = [T_WILDCARD]
+        else:
+            self.has_prefix_star = v[0] == "*"
+            self.has_suffix_star = v[-1] == "*"
+            self.has_mid_star = "*" in v[1:-1]
+            self.contains_wildcards = (
+                self.has_prefix_star or self.has_suffix_star or self.has_mid_star
+            )
+            if not is_var:
+                if not self.contains_wildcards:
+                    self.possible_types = [T_LOGTYPE]
+                else:
+                    self.possible_types = [T_LOGTYPE, T_INT, T_FLOAT, T_DICT]
+            else:
+                without = v[1:] if self.has_prefix_star else v
+                without = without[:-1] if self.has_suffix_star else without
+                if _int_encodable(without) or _float_encodable(without):
+                    self.possible_types = [T_INT, T_FLOAT, T_DICT]
+                else:
+                    self.possible_types = [T_DICT]
+                    self.cannot_convert_to_non_dict_var = True
+
+    @property
+    def type(self) -> str:
+        return self.possible_types[self.current_ix]
+
+    def is_ambiguous(self) -> bool:
+        return len(self.possible_types) > 1
+
+    def is_var_type(self) -> bool:
+        return self.type in (T_INT, T_FLOAT, T_DICT)
+
+    def advance(self) -> bool:
+        if self.current_ix < len(self.possible_types) - 1:
+            self.current_ix += 1
+            return True
+        self.current_ix = 0
+        return False
+
+
+@dataclass
+class QueryVarPlan:
+    """QueryVar (clp/Query.cpp:29-66): precise encoded value or a set."""
+
+    values: list[int]
+    is_dict: bool
+
+
+@dataclass
+class SubQueryPlan:
+    logtype_ids: list[int]
+    vars: list[QueryVarPlan] = field(default_factory=list)
+    wildcard_match_required: bool = False
+
+
+@dataclass
+class CompiledQuery:
+    search_string: str  # processed (wrapped + cleaned), for residual verify
+    ignore_case: bool
+    matches_all: bool = False
+    sub_queries: list[SubQueryPlan] = field(default_factory=list)
+
+    @property
+    def wont_match(self) -> bool:
+        return not self.matches_all and not self.sub_queries
+
+
+def _append_query_constant(constant: str, out: list[str]) -> None:
+    """append_constant_to_logtype with the query escape handler
+    (Grep.cpp:417-430 + ir/parsing.inc:12-33), building a logtype
+    *wildcard pattern*."""
+    for i, c in enumerate(constant):
+        if c == ESCAPE_CHAR or c in _PLACEHOLDERS:
+            if i + 1 < len(constant) and not is_wildcard(constant[i + 1]):
+                out.append(ESCAPE_CHAR)
+            elif c in _PLACEHOLDERS:
+                out.append(ESCAPE_CHAR)
+                out.append(ESCAPE_CHAR)
+        out.append(c)
+
+
+class DictProbes:
+    """Wildcard/exact probes against the two dictionaries, with memoization
+    (one Spark filter+collect per distinct probe — dictionary-first
+    evaluation, Grep.cpp:460-496)."""
+
+    def __init__(self, logtype_dict: DataFrame, var_dict: DataFrame, ignore_case: bool):
+        self.logtype_dict = logtype_dict
+        self.var_dict = var_dict
+        self.ignore_case = ignore_case
+        self._cache: dict = {}
+
+    def _probe(self, df: DataFrame, value_col: str, id_col: str, pattern: str,
+               exact: bool) -> list[int]:
+        key = (id_col, pattern, exact)
+        if key in self._cache:
+            return self._cache[key]
+        col = F.col(value_col)
+        pat = pattern
+        if self.ignore_case:
+            col = F.lower(col)
+            pat = pattern.lower()
+        if exact:
+            cond = col == F.lit(pat)
+        else:
+            cond = col.rlike(wildcard_to_regex(pat))
+        ids = [r[id_col] for r in df.filter(cond).select(id_col).collect()]
+        self._cache[key] = ids
+        return ids
+
+    def logtypes(self, pattern: str) -> list[int]:
+        return self._probe(self.logtype_dict, "logtype", "logtype_id", pattern, exact=False)
+
+    def var_exact(self, value: str) -> list[int]:
+        return self._probe(self.var_dict, "var_str", "var_id", value, exact=True)
+
+    def var_wildcard(self, pattern: str) -> list[int]:
+        return self._probe(self.var_dict, "var_str", "var_id", pattern, exact=False)
+
+
+def _process_var_token(tok: QueryToken, probes: DictProbes, sub: SubQueryPlan,
+                       lt: list[str]) -> bool:
+    """process_var_token (Grep.cpp:315-372). Returns False => WontMatch."""
+    # Precise-var fallback is still verified on the decoded message
+    sub.wildcard_match_required = True
+
+    if not tok.contains_wildcards:
+        # encode_and_search_dictionary (EncodedVariableInterpreter.cpp:369-401)
+        import pandas as pd
+
+        m, v = encoder.classify_encode_int(pd.Series([tok.value]))
+        if m.iloc[0]:
+            lt.append(PLACEHOLDER_INT)
+            sub.vars.append(QueryVarPlan([int(v[0])], is_dict=False))
+            return True
+        m, v = encoder.classify_encode_float(pd.Series([tok.value]))
+        if m.iloc[0]:
+            lt.append(PLACEHOLDER_FLOAT)
+            sub.vars.append(QueryVarPlan([int(v[0])], is_dict=False))
+            return True
+        ids = probes.var_exact(tok.value)
+        if not ids:
+            return False
+        lt.append(PLACEHOLDER_DICT)
+        sub.vars.append(QueryVarPlan([int(i) for i in ids], is_dict=True))
+        return True
+
+    if tok.has_prefix_star:
+        lt.append("*")
+    if tok.type == T_FLOAT:
+        lt.append(PLACEHOLDER_FLOAT)
+    elif tok.type == T_INT:
+        lt.append(PLACEHOLDER_INT)
+    else:
+        lt.append(PLACEHOLDER_DICT)
+        if tok.cannot_convert_to_non_dict_var:
+            ids = probes.var_wildcard(tok.value)
+            if not ids:
+                return False
+            sub.vars.append(QueryVarPlan([int(i) for i in ids], is_dict=True))
+    if tok.has_suffix_star:
+        lt.append("*")
+    return True
+
+
+def compile_query(
+    search_string: str,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    ignore_case: bool = False,
+) -> CompiledQuery:
+    """Grep::process_raw_query (Grep.cpp:499-628)."""
+    processed = clean_up_wildcard_search_string("*" + search_string + "*")
+
+    # '?' has no subquery support: treat as '*' for generation; the final
+    # verify uses the original '?' (Grep.cpp:521-530).
+    for_subqueries = clean_up_wildcard_search_string(processed.replace("?", "*"))
+
+    tokens: list[QueryToken] = []
+    begin = end = 0
+    while True:
+        found, begin, end, is_var = get_bounds_of_next_potential_var(for_subqueries, begin, end)
+        if not found:
+            break
+        tokens.append(QueryToken(for_subqueries, begin, end, is_var))
+
+    ambiguous = [t for t in tokens if not t.has_mid_star and t.is_ambiguous()]
+
+    out = CompiledQuery(search_string=processed, ignore_case=ignore_case)
+    probes = DictProbes(logtype_dict, var_dict, ignore_case)
+
+    changed = True
+    while changed:
+        sub = SubQueryPlan(logtype_ids=[])
+        lt: list[str] = []
+        last_end = 0
+        wont_match = False
+        for tok in tokens:
+            _append_query_constant(for_subqueries[last_end:tok.begin_pos], lt)
+            last_end = tok.end_pos
+            if tok.type == T_WILDCARD:
+                lt.append("*")
+            elif tok.has_mid_star:
+                # fallback: decompress + wildcard match (Grep.cpp:443-456)
+                sub.wildcard_match_required = True
+                if not tok.is_var_type():
+                    lt.append("*")
+                else:
+                    lt.append("*")
+                    lt.append(PLACEHOLDER_DICT)
+                    lt.append("*")
+            elif not tok.is_var_type():
+                _append_query_constant(tok.value, lt)
+            elif not _process_var_token(tok, probes, sub, lt):
+                wont_match = True
+                break
+
+        if not wont_match:
+            _append_query_constant(for_subqueries[last_end:], lt)
+            pattern = "".join(lt)
+            if pattern == "*":
+                out.matches_all = True
+                out.sub_queries = []
+                return out
+            ids = probes.logtypes(pattern)
+            if ids:
+                sub.logtype_ids = [int(i) for i in ids]
+                out.sub_queries.append(sub)
+
+        changed = False
+        for tok in ambiguous:
+            if tok.advance():
+                changed = True
+                break
+
+    return out
+
+
+# --- execution ---------------------------------------------------------------
+
+
+def _subseq_predicate(vars_plan: list[QueryVarPlan]) -> Column:
+    """Ordered non-contiguous subsequence of query vars within
+    ``encoded_vars`` (clp/Query.cpp:150-173) as a JVM-side aggregate:
+    the accumulator is the number of query vars matched so far."""
+    k = len(vars_plan)
+    if k == 0:
+        return F.lit(True)
+
+    def step(acc: Column, x: Column) -> Column:
+        expr = acc
+        # built in reverse so earlier states take precedence in the chain
+        for i in reversed(range(k)):
+            qv = vars_plan[i]
+            cond = x.isin(qv.values) if len(qv.values) > 1 else (x == F.lit(qv.values[0]))
+            expr = F.when((acc == i) & cond, i + 1).otherwise(expr)
+        return expr
+
+    matched = F.aggregate("encoded_vars", F.lit(0), step)
+    return (F.size("encoded_vars") >= k) & (matched == k)
+
+
+def _subquery_predicate(sub: SubQueryPlan) -> Column:
+    pred = F.col("logtype_id").isin(sub.logtype_ids)
+    return pred & _subseq_predicate(sub.vars)
+
+
+def search(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    compiled: CompiledQuery,
+    key_cols: list[str],
+    ts_begin_ms: int | None = None,
+    ts_end_ms: int | None = None,
+    select_cols: list[str] | None = None,
+) -> DataFrame:
+    """Execute a compiled query over the encoded table. Returns matching
+    rows (key_cols + select_cols)."""
+    select_cols = select_cols or []
+    out_cols = key_cols + select_cols
+    df = encoded
+    if ts_begin_ms is not None:
+        df = df.filter(F.unix_millis(F.col("ts")) >= ts_begin_ms)
+    if ts_end_ms is not None:
+        df = df.filter(F.unix_millis(F.col("ts")) <= ts_end_ms)
+
+    if compiled.matches_all:
+        # SupercedesAll: no subqueries — but if the *original* pattern is
+        # not literally match-all (e.g. '?'-only queries whose subquery
+        # form collapsed to '*'), every row is still decoded and
+        # wildcard-verified (Grep.cpp:936-951:
+        # `!contains_sub_queries && !search_string_matches_all`).
+        if compiled.search_string in ("", "*"):
+            return df.select(*out_cols)
+        from clp_core_spark.operators import encode_pipeline
+
+        decoded = encode_pipeline.decode(df, logtype_dict, var_dict, key_cols)
+        pat = compiled.search_string
+        col = F.col("decoded_text")
+        if compiled.ignore_case:
+            col, pat = F.lower(col), pat.lower()
+        return decoded.filter(col.rlike(wildcard_to_regex(pat))).select(*out_cols)
+    if compiled.wont_match:
+        return df.select(*out_cols).limit(0)
+
+    no_verify = [s for s in compiled.sub_queries if not s.wildcard_match_required]
+    need_verify = [s for s in compiled.sub_queries if s.wildcard_match_required]
+
+    results = []
+    pred_direct = None
+    if no_verify:
+        pred_direct = F.lit(False)
+        for s in no_verify:
+            pred_direct = pred_direct | _subquery_predicate(s)
+        results.append(df.filter(pred_direct).select(*out_cols))
+
+    if need_verify:
+        pred_v = F.lit(False)
+        for s in need_verify:
+            pred_v = pred_v | _subquery_predicate(s)
+        if pred_direct is not None:
+            pred_v = pred_v & ~pred_direct
+        candidates = df.filter(pred_v)
+        # Residual verify (Grep.cpp:935-951): decode the (small) residue
+        # and wildcard-match against the processed query string.
+        from clp_core_spark.operators import encode_pipeline
+
+        decoded = encode_pipeline.decode(candidates, logtype_dict, var_dict, key_cols)
+        pat = compiled.search_string
+        col = F.col("decoded_text")
+        if compiled.ignore_case:
+            col, pat = F.lower(col), pat.lower()
+        verified = decoded.filter(col.rlike(wildcard_to_regex(pat)))
+        results.append(verified.select(*out_cols))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def search_text(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    query: str,
+    key_cols: list[str],
+    ignore_case: bool = False,
+    **kw,
+) -> DataFrame:
+    """Compile + execute in one call."""
+    compiled = compile_query(query, logtype_dict, var_dict, ignore_case=ignore_case)
+    return search(encoded, logtype_dict, var_dict, compiled, key_cols, **kw)
