@@ -1,38 +1,278 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry drives the clp_core_spark engine (parse ->
+encode -> dictionaries -> search/route/aggregate, per SURVEY.md §2) and is
+paired with an ANSI-SQL oracle over the *raw* tables. That pairing is the
+reference's own test model: CLP's search-without-decompression must equal
+a direct text scan (components/core/tests/test-clp_s-search.cpp), and
+decode(encode(x)) must equal x (tests/test-clp_s-end_to_end.cpp).
+
+Text inputs are the shared testdata tables themselves:
+- ``documents.text`` — natural-language-ish constant-heavy messages;
+- a deterministic log line derived from ``events`` (int vars, dict vars,
+  JSON-ish punctuation) built with the *same* string expression in Spark
+  and DuckDB, so both engines see byte-identical corpora.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from clp_core_spark.operators import aggregate, encode_pipeline, route, search
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------------------
+# shared input construction
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic log line per event; the DuckDB twin is
+    ``_EVENT_TEXT_SQL``. Exercises int vars (user_id, props value),
+    dict vars ('v<id>'), '='-preceded rule, and JSON punctuation."""
+    ev = _t(spark, sf_dir, "events")
+    text = F.concat(
+        F.lit("evt "), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" props="), F.col("props"),
+        F.lit(" v"), F.col("event_id").cast("string"),
+    )
+    return ev.select("event_id", "ts", "event_type", text.alias("text"))
+
+
+_EVENT_TEXT_SQL = (
+    "'evt ' || event_type || ' user=' || CAST(user_id AS VARCHAR)"
+    " || ' props=' || props || ' v' || CAST(event_id AS VARCHAR)"
+)
+
+# Encoded-corpus cache: encode once per (session, sf_dir, corpus), reuse
+# across the driver's per-query calls (dictionaries are persisted DFs).
+_CACHE: dict = {}
+
+
+def _encoded(spark: SparkSession, sf_dir: str, corpus: str):
+    key = (id(spark), sf_dir, corpus)
+    if key not in _CACHE:
+        if corpus == "events":
+            df, keys = _event_lines(spark, sf_dir), ["event_id"]
+        else:
+            df, keys = _t(spark, sf_dir, "documents"), ["doc_id"]
+        enc, lt_dict, var_dict = encode_pipeline.encode(
+            df, key_cols=keys, keep_text=False
+        )
+        _CACHE[key] = (enc.persist(), lt_dict, var_dict, keys)
+    return _CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# queries — each is (spark, sf_dir) -> DataFrame
+
+
+def _q_roundtrip_docs(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "documents")
+    dec = encode_pipeline.decode(enc, lt, vd, keys)
+    return dec.select("doc_id", F.col("decoded_text").alias("text"))
+
+
+def _q_roundtrip_events(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    dec = encode_pipeline.decode(enc, lt, vd, keys)
+    return dec.select("event_id", F.col("decoded_text").alias("text"))
+
+
+def _q_search_token(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "documents")
+    return search.search_text(enc, lt, vd, "*merge*", keys).select("doc_id")
+
+
+def _q_search_int(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_text(enc, lt, vd, "*user=13 *", keys).select("event_id")
+
+
+def _q_search_midstar(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_text(enc, lt, vd, "*sig*up*", keys).select("event_id")
+
+
+def _q_search_dictvar(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_text(enc, lt, vd, "*v1234*", keys).select("event_id")
+
+
+def _q_logtype_counts(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return (
+        enc.join(F.broadcast(lt), "logtype_id")
+        .groupBy("logtype").agg(F.count("*").alias("n"))
+    )
+
+
+def _q_var_dict_size(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return vd.agg(F.count("*").alias("n_vars"))
+
+
+def _q_logtype_class_counts(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    with_lt = enc.join(F.broadcast(lt), "logtype_id")
+    classed = route.with_logtype_class(with_lt)
+    return classed.groupBy(F.col("logtype_class")).agg(F.count("*").alias("n"))
+
+
+def _q_sink_counts_events(spark, sf_dir):
+    """Per-sink aggregate counts for the fan-out routes (BASELINE gate),
+    sinks keyed by event_type here (role/tool analog on shared tables)."""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return enc.groupBy(F.col("event_type").alias("sink_key")).agg(
+        F.count("*").alias("row_count")
+    )
+
+
+def _q_count_by_time(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return aggregate.count_by_time(ev, bucket_ms=3_600_000)
+
+
+def _q_topk_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    top = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(10)
+    return top.select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+
+
+def _q_enrich_join(spark, sf_dir):
+    """Broadcast-enrichment join chain (orders -> customer -> nation), the
+    role/tool-dim lookup pattern (SURVEY §2.3 'Enrichment')."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "text", "n_copies")
+
+
+def _q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "clp_roundtrip_docs": _q_roundtrip_docs,
+        "clp_roundtrip_events": _q_roundtrip_events,
+        "clp_search_token": _q_search_token,
+        "clp_search_int": _q_search_int,
+        "clp_search_midstar": _q_search_midstar,
+        "clp_search_dictvar": _q_search_dictvar,
+        "clp_logtype_counts": _q_logtype_counts,
+        "clp_var_dict_size": _q_var_dict_size,
+        "clp_logtype_class_counts": _q_logtype_class_counts,
+        "clp_sink_counts_events": _q_sink_counts_events,
+        "agg_count_by_time": _q_count_by_time,
+        "agg_topk_latest": _q_topk_latest,
+        "join_enrich_nation": _q_enrich_join,
+        "dedup_exact_docs": _q_dedup_exact,
+        "text_token_counts": _q_token_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # chr(17)/chr(18)/chr(19) = CLP's Integer/Dictionary/Float placeholder
+    # bytes (clp/ir/types.hpp:11-16); the logtype oracle hardcodes the
+    # expected template per event_type.
+    ev_logtype = (
+        "'evt ' || event_type || ' user=' || chr(17)"
+        " || ' props={\"k\": ' || chr(17) || '} ' || chr(18)"
+    )
+    return {
+        "clp_roundtrip_docs": "SELECT doc_id, text FROM documents",
+        "clp_roundtrip_events": (
+            f"SELECT event_id, {_EVENT_TEXT_SQL} AS text FROM events"
+        ),
+        "clp_search_token": (
+            "SELECT doc_id FROM documents WHERE text LIKE '%merge%'"
+        ),
+        "clp_search_int": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%user=13 %'"
+        ),
+        "clp_search_midstar": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%sig%up%'"
+        ),
+        "clp_search_dictvar": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%v1234%'"
+        ),
+        "clp_logtype_counts": (
+            f"SELECT {ev_logtype} AS logtype, count(*) AS n FROM events"
+            " GROUP BY 1"
+        ),
+        "clp_var_dict_size": (
+            "SELECT count(DISTINCT 'v' || CAST(event_id AS VARCHAR))"
+            " AS n_vars FROM events"
+        ),
+        "clp_logtype_class_counts": (
+            "SELECT 'evt' AS logtype_class, count(*) AS n FROM events"
+        ),
+        "clp_sink_counts_events": (
+            "SELECT event_type AS sink_key, count(*) AS row_count"
+            " FROM events GROUP BY 1"
+        ),
+        "agg_count_by_time": (
+            "SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ts,"
+            " count(*) AS count FROM events WHERE event_type = 'error'"
+            " GROUP BY 1 ORDER BY 1"
+        ),
+        "agg_topk_latest": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events"
+            " WHERE event_type = 'error'"
+            " ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "join_enrich_nation": (
+            "SELECT n_name, count(*) AS order_cnt,"
+            " round(sum(o_totalprice), 2) AS total_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "dedup_exact_docs": (
+            "SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies"
+            " FROM documents GROUP BY text"
+        ),
+        "text_token_counts": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens"
+            " FROM documents"
+        ),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full parse->encode->dictionary-search on sf0.001 —
+    find every event line matching '*user=13 *' without decompression,
+    then decode the matches back to text."""
+    sf_dir = "/root/testdata/sf0.001"
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    hits = search.search_text(enc, lt, vd, "*user=13 *", keys)
+    matched = enc.join(hits.select(*keys), keys, "left_semi")
+    dec = encode_pipeline.decode(matched, lt, vd, keys)
+    return dec.select("event_id", "logtype_id", F.col("decoded_text").alias("text"))

@@ -1,0 +1,145 @@
+"""Benchmark harness (driver-run per round; also used for the two-level
+scaling evidence in BENCH/BASELINE.md).
+
+Headline metric: end-to-end parse -> encode -> route wall time over the
+synthetic transcripts table (BASELINE.json north_star), measured from
+parquet scan to per-sink counts + routed writes. Per-query timings cover
+the dictionary-search and aggregate paths at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Usage:
+  python bench.py                  # full bench at $SPARK_GRAFT_SF_DIR
+  python bench.py --pipeline-only  # just the e2e pipeline (scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from clp_core_spark.operators import encode_pipeline, enrich, route  # noqa: E402
+from clp_core_spark.session import get_spark  # noqa: E402
+from clp_core_spark.sources import transcripts  # noqa: E402
+
+WORK_ROOT = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/clp_bench")
+# ~6 turns per lineitem row: sf0.1 -> 600k lineitem -> 600k turns.
+TURNS_PER_SF = 6_000_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _stage_transcripts(spark, sf: float) -> tuple[str, int]:
+    """Generate the deterministic transcripts input once per sf and stage
+    it as parquet — generation is NOT part of the measured pipeline."""
+    num_turns = max(10_000, int(TURNS_PER_SF * sf))
+    path = f"{WORK_ROOT}/transcripts_sf{sf}"
+    marker = f"{path}/_STAGED_{num_turns}"
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        df = transcripts.generate_transcripts(spark, num_turns=num_turns, partitions=64)
+        df.write.mode("overwrite").parquet(path)
+        open(marker, "w").close()
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def run_pipeline(spark, input_path: str, sinks_root: str) -> dict:
+    """The measured job: scan -> parse/encode (vectorized UDF + dict
+    builds + broadcast joins) -> enrich (broadcast dims) -> fan-out route
+    (salted repartition, 3 sink families) -> per-sink counts."""
+    t0 = time.time()
+    df = spark.read.parquet(input_path)
+    encoded, lt_dict, var_dict = encode_pipeline.encode(
+        df, key_cols=["conv_id", "turn_idx"]
+    )
+    enriched = enrich.enrich(
+        encoded, transcripts.role_dim(spark), transcripts.tool_dim(spark)
+    )
+    enriched = route.with_logtype_class(
+        enriched.join(F.broadcast(lt_dict), "logtype_id")
+    ).drop("logtype")
+    shutil.rmtree(sinks_root, ignore_errors=True)
+    route.route(enriched, sinks_root, partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    counts = route.sink_counts(enriched).collect()
+    elapsed = time.time() - t0
+    return {
+        "elapsed_sec": elapsed,
+        "n_sinks": len(counts),
+        "lt_dict_size": lt_dict.count(),
+        "var_dict_size": var_dict.count(),
+    }
+
+
+def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    picks = [
+        "clp_roundtrip_events",
+        "clp_search_token",
+        "clp_search_int",
+        "clp_search_midstar",
+        "clp_logtype_counts",
+        "clp_sink_counts_events",
+        "agg_count_by_time",
+        "agg_topk_latest",
+        "join_enrich_nation",
+        "dedup_exact_docs",
+    ]
+    qs = entry.queries()
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    pipeline_only = "--pipeline-only" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    spark = get_spark("clp-bench", shuffle_partitions=max(int(cpus), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    input_path, n_turns = _stage_transcripts(spark, sf)
+    stats = run_pipeline(spark, input_path, f"{WORK_ROOT}/sinks_sf{sf}_c{cpus}")
+    turns_per_sec = n_turns / stats["elapsed_sec"]
+
+    queries = {} if pipeline_only else timed_queries(spark, sf_dir)
+
+    result = {
+        "metric": "e2e_parse_encode_route_sec",
+        "value": round(stats["elapsed_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_turns": n_turns,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "cpus": int(cpus),
+        "logtype_dict_size": stats["lt_dict_size"],
+        "var_dict_size": stats["var_dict_size"],
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

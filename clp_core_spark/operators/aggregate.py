@@ -24,7 +24,8 @@ def count_by_group(df: DataFrame, *group_cols: str) -> DataFrame:
 def count_by_time(df: DataFrame, bucket_ms: int, ts_col: str = "ts") -> DataFrame:
     """Bucket = (epoch_ms / size) * size with integer truncation
     (clp/clo/OutputHandler.hpp:269-271)."""
-    epoch = F.unix_millis(F.col(ts_col))
+    # NTZ timestamps are interpreted in the session TZ (UTC in get_spark).
+    epoch = F.unix_millis(F.col(ts_col).cast("timestamp"))
     bucket = (epoch - F.pmod(epoch, F.lit(bucket_ms))).alias("bucket_ts")
     return df.groupBy(bucket).agg(F.count("*").alias("count")).orderBy("bucket_ts")
 
