@@ -21,7 +21,15 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from clp_core_spark.operators import aggregate, encode_pipeline, route, search
+from clp_core_spark.functions import textstats
+from clp_core_spark.operators import (
+    aggregate,
+    dedup,
+    encode_pipeline,
+    route,
+    search,
+    similarity,
+)
 
 # ---------------------------------------------------------------------------
 # shared input construction
@@ -48,6 +56,45 @@ def _event_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TEXT_SQL = (
     "'evt ' || event_type || ' user=' || CAST(user_id AS VARCHAR)"
     " || ' props=' || props || ' v' || CAST(event_id AS VARCHAR)"
+)
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_STOP_SQL = _in_list(textstats.STOPWORDS_EN)
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         || ' ' || string_split(text,' ')[i+2])) AS g
+  FROM documents WHERE len(string_split(text,' ')) >= 3
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard_sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.g, b.g)) * 1.0
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE j >= 0.5
+"""
+
+# argmax of marker-word hits; ties go to the earlier language code
+# (same fold order as textstats.lang_id).
+_LANG_ID_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(list_filter(string_split(text,' '),"
+        f" w -> w IN ({_in_list(textstats.LANG_MARKERS[c])}))) AS {c}"
+        for c in sorted(textstats.LANG_MARKERS)
+    )
+    + " FROM documents) SELECT doc_id, CASE"
+    " WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'"
+    " WHEN en > 0 AND en >= es AND en >= fr THEN 'en'"
+    " WHEN es > 0 AND es >= fr THEN 'es'"
+    " WHEN fr > 0 THEN 'fr'"
+    " ELSE 'unknown' END AS lang_pred FROM h"
 )
 
 # Encoded-corpus cache: encode once per (session, sf_dir, corpus), reuse
@@ -176,6 +223,60 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_all_pairs(d, threshold=0.5)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=3)
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_sim_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_sim_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint64(F.col("text")).alias("fp"))
+
+
+def _q_token_counts_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.token_count_bpe_ish(F.col("text")).alias("n_subtokens")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clp_roundtrip_docs": _q_roundtrip_docs,
@@ -193,6 +294,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_enrich_nation": _q_enrich_join,
         "dedup_exact_docs": _q_dedup_exact,
         "text_token_counts": _q_token_counts,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "sim_bruteforce_topk": _q_sim_bruteforce,
+        "sim_lsh_topk": _q_sim_lsh,
+        "text_quality_scores": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprints": _q_fingerprints,
+        "text_token_counts_bpe": _q_token_counts_bpe,
     }
 
 
@@ -262,6 +372,40 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens"
             " FROM documents"
+        ),
+        # exact 3-gram Jaccard; MinHash-LSH shares this oracle because every
+        # planted near-dup pair sits far above the 0.5 threshold (j ~ 0.99),
+        # where banded detection probability is ~1 and deterministic
+        # (xxhash64 seeds are fixed).
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "sim_bruteforce_topk": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],"
+            " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id=0)), 6)"
+            " AS cosine_sim FROM embeddings"
+            " ORDER BY cosine_sim DESC, vec_id LIMIT 10"
+        ),
+        "text_quality_scores": (
+            "SELECT doc_id, round("
+            " (CASE WHEN length(text) BETWEEN 64 AND 4096 THEN 1.0"
+            "       WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4"
+            " + (len(regexp_extract_all(text, '[A-Za-z]'))"
+            "    / greatest(length(text), 1)) * 0.4"
+            f" + least((len(list_filter(string_split(text, ' '),"
+            f" w -> w IN ({_STOP_SQL})))"
+            "    / greatest(len(string_split(text, ' ')), 1)) * 4, 1.0) * 0.2"
+            ", 6) AS quality FROM documents"
+        ),
+        "text_lang_id": _LANG_ID_SQL,
+        "text_fingerprints": (
+            "SELECT doc_id, list_reduce(list_prepend(0::BIGINT,"
+            " list_transform(generate_series(1, length(text)),"
+            " i -> ascii(substr(text, i, 1))::BIGINT)),"
+            " (acc, c) -> (acc * 31 + c) % 2147483648) AS fp FROM documents"
+        ),
+        "text_token_counts_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text,"
+            " '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens FROM documents"
         ),
     }
 

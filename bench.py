@@ -45,8 +45,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def _stage_transcripts(spark, sf: float) -> tuple[str, int]:
     """Generate the deterministic transcripts input once per sf and stage
-    it as parquet — generation is NOT part of the measured pipeline."""
-    num_turns = max(10_000, int(TURNS_PER_SF * sf))
+    it as parquet — generation is NOT part of the measured pipeline.
+
+    SPARK_GRAFT_BENCH_TURNS overrides the row count (the scaling runs use
+    a corpus large enough that compute, not fixed overhead, dominates)."""
+    num_turns = int(
+        os.environ.get("SPARK_GRAFT_BENCH_TURNS", max(10_000, int(TURNS_PER_SF * sf)))
+    )
     path = f"{WORK_ROOT}/transcripts_sf{sf}"
     marker = f"{path}/_STAGED_{num_turns}"
     if not os.path.exists(marker):
@@ -73,6 +78,8 @@ def run_pipeline(spark, input_path: str, sinks_root: str) -> dict:
     enriched = route.with_logtype_class(
         enriched.join(F.broadcast(lt_dict), "logtype_id")
     ).drop("logtype")
+    # One materialization feeds all three sink writes + the counts.
+    enriched = enriched.persist()
     shutil.rmtree(sinks_root, ignore_errors=True)
     route.route(enriched, sinks_root, partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     counts = route.sink_counts(enriched).collect()

@@ -1,0 +1,95 @@
+"""Text-analysis functions for corpus curation: token counting, quality
+scoring, language ID, and document fingerprinting.
+
+Every function here is a pure JVM Column expression (built-in
+pyspark.sql.functions only — whole-stage-codegen'd, no Python in the row
+path), and each has an exact ANSI-SQL twin so results are oracle-checkable
+in DuckDB. CLP analog: these are "scalar functions" in the sense of
+SURVEY.md §2.7 — deterministic per-row derivations used by routing and
+filtering stages.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# A small function-word profile per language; language ID is the argmax of
+# marker-word hits (n-gram-free variant of the classic stopword profile).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "it", "on", "as", "at", "by"]
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count. SQL twin: len(string_split(text, ' '))."""
+    return F.size(F.split(text, " "))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword proxy: count of maximal runs of word chars plus
+    standalone non-space punctuation (regexp-based, engine-agnostic).
+    SQL twin: len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def marker_hits(text: Column, words: list[str]) -> Column:
+    """How many tokens of ``text`` are in ``words`` (word-boundary exact).
+    SQL twin: len(list_filter(string_split(text,' '), w -> w IN (...)))."""
+    toks = F.split(text, " ")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over LANG_MARKERS of marker hits; ties broken by language
+    code order; zero hits => 'unknown'."""
+    best_lang = F.lit("unknown")
+    best_hits = F.lit(0)
+    for code in sorted(LANG_MARKERS):
+        hits = marker_hits(text, LANG_MARKERS[code])
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + alpha ratio + stopword
+    presence (the standard cheap pretraining-corpus filters). Exact
+    integer/ratio arithmetic so SQL twins agree bit-for-bit after
+    round(...,6)."""
+    n_chars = F.length(text)
+    n_alpha = _count_matches(text, "[A-Za-z]")
+    n_tokens = token_count_ws(text)
+    stop_ratio = marker_hits(text, STOPWORDS_EN) / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    len_band = (
+        F.when((n_chars >= 64) & (n_chars <= 4096), F.lit(1.0))
+        .when(n_chars > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    score = len_band * 0.4 + alpha_ratio * 0.4 + F.least(stop_ratio * 4, F.lit(1.0)) * 0.2
+    return F.round(score, 6)
+
+
+def fingerprint64(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint:
+    h = fold over characters of (h*31 + ascii(c)) mod 2^31.
+    SQL twin uses list_reduce over string_split_regex(text,'') — identical
+    integer arithmetic in both engines."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(2147483648)),
+    )

@@ -1,0 +1,293 @@
+"""Document deduplication family for large-scale corpus curation.
+
+The reference dedups *dictionary entries* by exact string
+(clp/VariableDictionaryWriter.cpp:7-37); corpus-level near-dup detection
+generalizes that to documents. All candidate generation is JVM-side
+(xxhash64, array ops, shuffle joins) — Python appears only in the
+bit-packing of simhash (vectorized numpy over Arrow batches).
+
+Scale notes (100 TB):
+- exact: one hash-shuffle on a 64-bit digest, never on the full text.
+- minhash-LSH: per-doc signature is K=64 ints computed map-side; the only
+  shuffle is the (band, bucket) self-join, whose fan-out is controlled by
+  band count; verification runs on candidate pairs only.
+- simhash: 64-bit signature map-side; candidates via banded equality on
+  16-bit chunks (Hamming-distance blocking), verified by popcount.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content digest; keep the minimum ID as the canonical doc.
+
+    Shuffles a 64-bit digest + id, not the text (two-phase agg: map-side
+    partial min/count per digest)."""
+    digest = F.xxhash64(F.col(text_col))
+    return (
+        df.groupBy(digest.alias("digest"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, built with JVM array ops:
+    split -> sliding window via transform(sequence) -> distinct."""
+    toks = F.split(text_col, r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _shingle_hash(k: int):
+    # Must be a ONE-argument lambda: pyspark calls two-argument transform
+    # lambdas as (element, index), which would silently replace the seed.
+    return lambda s: F.xxhash64(s, F.lit(k))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """K independent min-hashes: min over shingles of xxhash64(s, seed_k).
+    One JVM expression per hash — no Python, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _shingle_hash(k)))
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with exact
+    Jaccard >= ``threshold``. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    Default 32 bands x 2 rows: detection probability 1-(1-j^2)^32 is
+    ~0.9999 at j=0.5, so at the default threshold the verified output
+    equals the exact all-pairs result with near-certainty (the extra
+    low-j candidates cost only verification time).
+
+    rows-per-band = num_hashes/bands sets the S-curve; the self-join key
+    is (band_idx, hash-of-band-slice) so the shuffle carries only
+    (bucket, id, shingles)."""
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+    return verified.filter(F.col("jaccard_sim") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs — the oracle-able (and
+    quadratic) baseline LSH approximates. Pairs are generated by an
+    inverted-index join on shared shingles (posting-list self-join), so
+    disjoint pairs never materialize."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    posting = base.select("_id", F.explode("_sh").alias("_g"))
+    pairs = (
+        posting.alias("l")
+        .join(posting.alias("r"), (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    sizes = base.select("_id", F.size("_sh").alias("_n"))
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn("jaccard_sim", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+    )
+    return out.filter(F.col("jaccard_sim") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+_SIMHASH_BITS = 64
+
+
+@pandas_udf(LongType())
+def _simhash_udf(token_hashes: pd.Series) -> pd.Series:
+    """Pack per-token 64-bit hashes into a simhash: bit b of the result is
+    the sign of sum over tokens of (+1 if token bit b else -1). Vectorized
+    numpy over the Arrow batch (bit manipulation is the one op Spark SQL
+    lacks a clean vector form for)."""
+    import numpy as np
+
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hs in enumerate(token_hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
+            np.int32
+        )
+        votes = bits.sum(axis=0) * 2 - len(arr)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per document over word n-gram shingles (n=1 for the
+    classic token-level variant; n>=2 discriminates much better on
+    small-vocabulary corpora). Shingle hashes are computed JVM-side."""
+    feats = (
+        F.array_distinct(F.split(F.col(text_col), r"\s+"))
+        if shingle_n == 1
+        else word_shingles(F.col(text_col), shingle_n)
+    )
+    hashes = F.transform(feats, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), _simhash_udf(hashes).alias("simhash"))
+
+
+def _popcount64(c: Column) -> Column:
+    return F.bit_count(c)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
+    16-bit chunks (pigeonhole: <= 3 differing bits means >= 1 of 4 chunks
+    equal), verified by popcount(xor)."""
+    sh = simhash(df, id_col, text_col, shingle_n)
+    width = _SIMHASH_BITS // chunks
+    chunked = sh.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_chunk_ix", "_chunk"),
+    )
+    cand = (
+        chunked.alias("l")
+        .join(
+            chunked.alias("r"),
+            (F.col("l._chunk_ix") == F.col("r._chunk_ix"))
+            & (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k — the exact baseline; dot product is a single
+  JVM ``aggregate``/``zip_with`` expression, ranked by
+  TakeOrderedAndProject (bounded per-partition heap + merge, no global
+  sort — the same plan CLP's top-k OutputHandler implements by hand,
+  clp/clo/OutputHandler.hpp:146-220).
+- LSH-bucketed (random hyperplane signs) — the scale path: the corpus is
+  scanned once to bucket signatures; queries probe only matching buckets
+  (optionally with multi-probe on neighboring signs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # Widen each element BEFORE multiplying so the arithmetic is pure
+    # float64 (bit-identical to a double-precision reference).
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector. The query vector is a
+    plan constant (no broadcast join needed); orderBy+limit compiles to
+    TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+
+
+def _hyperplane(dim: int, plane_ix: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is a
+    signed value derived from a splitmix-style integer mix of
+    (plane_ix, j). Reproducible across runs/executors with no RNG state."""
+    comps = []
+    for j in range(dim):
+        z = (plane_ix * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = (z ^ (z >> 31)) * 0x94D049BB133111EB & ((1 << 64) - 1)
+        comps.append(((z >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return comps
+
+
+def hyperplane_signature(vec_col: Column, dim: int, num_planes: int = 16) -> Column:
+    """Bit i = sign(dot(vec, plane_i)); packed into a long. Pure JVM."""
+    sig = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i)])
+        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    multiprobe_bits: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's hyperplane bucket plus
+    all buckets within ``multiprobe_bits`` sign flips, score only those
+    rows.
+
+    At scale the signature column is precomputed/persisted and the probe
+    becomes a partition-prunable equality filter."""
+    dim = len(query_vec)
+    sig_col = hyperplane_signature(F.col(vec_col), dim, num_planes)
+    bucketed = df.withColumn("_sig", sig_col)
+
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    qsig = 0
+    for i in range(num_planes):
+        plane = np.array(_hyperplane(dim, i))
+        if float(q @ plane) >= 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        for i in range(num_planes):
+            probes.add(qsig ^ (1 << i))
+    if multiprobe_bits >= 2:
+        for i in range(num_planes):
+            for j in range(i + 1, num_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+
+    cand = bucketed.filter(F.col("_sig").isin([int(p) for p in probes]))
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), qarr), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)

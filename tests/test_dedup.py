@@ -1,0 +1,70 @@
+"""Dedup operators over a planted corpus: exact copies, near-dups (one
+word changed), and unrelated docs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from clp_core_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the tall green trees"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit => jaccard ~ 0.9
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution kernels"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}
+
+
+def test_ngram_jaccard_pairs(docs):
+    rows = dedup.ngram_jaccard_all_pairs(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in rows}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.7 < pairs[(0, 2)] < 1.0
+    assert pairs[(0, 2)] == pairs[(1, 2)]
+    assert len(pairs) == 3  # no pair involves doc 3
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    rows = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    exact = dedup.ngram_jaccard_all_pairs(docs, threshold=0.5)
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_simhash_identical_and_near(docs, spark):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical signature
+    ham_near = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_pairs(docs):
+    rows = dedup.simhash_near_pairs(docs, max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_shingles_empty_and_short(spark):
+    df = spark.createDataFrame([(0, ""), (1, "two words")], "doc_id long, text string")
+    out = df.select(F.size(dedup.word_shingles(F.col("text"), 3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0]

@@ -1,0 +1,66 @@
+"""Similarity search: brute-force cosine correctness vs numpy, and LSH
+recall of the exact top match."""
+
+import numpy as np
+import pytest
+
+from clp_core_spark.operators import similarity
+
+DIM = 16
+N = 200
+
+
+def _vec(i: int) -> list[float]:
+    rng = np.random.RandomState(i)
+    v = rng.randn(DIM)
+    return [float(x) for x in v]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = [(i, _vec(i)) for i in range(N)]
+    # vec 199 is a near-copy of vec 0 (tiny perturbation)
+    near = [x + 0.01 for x in _vec(0)]
+    rows[199] = (199, near)
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_matches_numpy(embeddings):
+    q = _vec(0)
+    out = similarity.brute_force_topk(embeddings, q, k=5).collect()
+    got = [(r["vec_id"], r["cosine_sim"]) for r in out]
+
+    qa = np.array(q)
+    sims = []
+    for i in range(N):
+        v = np.array(_vec(i) if i != 199 else [x + 0.01 for x in _vec(0)], dtype=np.float32)
+        v = v.astype(np.float64)
+        sims.append((i, float(qa @ v / (np.linalg.norm(qa) * np.linalg.norm(v)))))
+    sims.sort(key=lambda t: (-round(t[1], 6), t[0]))
+    expect = [(i, round(s, 6)) for i, s in sims[:5]]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[1] - e[1]) < 1e-6
+
+
+def test_topk_is_query_and_near_copy_first(embeddings):
+    out = similarity.brute_force_topk(embeddings, _vec(0), k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 199]
+
+
+def test_lsh_finds_near_copy(embeddings):
+    out = similarity.lsh_topk(embeddings, _vec(0), k=5).collect()
+    ids = [r["vec_id"] for r in out]
+    # the query vector itself and its near-copy hash to the same bucket
+    assert 0 in ids and 199 in ids
+    assert ids[0] == 0 and ids[1] == 199
+
+
+def test_lsh_subset_of_bruteforce_scores(embeddings):
+    q = _vec(7)
+    brute = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.brute_force_topk(embeddings, q, k=N).collect()
+    }
+    for r in similarity.lsh_topk(embeddings, q, k=10).collect():
+        assert abs(brute[r["vec_id"]] - r["cosine_sim"]) < 1e-9
