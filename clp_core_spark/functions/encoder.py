@@ -31,6 +31,70 @@ _INT64_MAX_STR = "9223372036854775807"
 _INT64_MIN_ABS_STR = "9223372036854775808"
 
 
+def classify_encode_int_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native variant of :func:`classify_encode_int`: takes a
+    pyarrow StringArray, returns (bool ndarray mask, int64 values for the
+    masked positions). All regex/compare/cast work is RE2/C++."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    form = np.asarray(
+        pc.match_substring_regex(arr, "^(?:0|[1-9][0-9]*|-[1-9][0-9]*)$")
+    ).astype(bool)
+    if not form.any():
+        return form, np.empty(0, dtype=np.int64)
+    cand = pc.filter(arr, pa.array(form))
+    neg = pc.starts_with(cand, pattern="-")
+    digits = pc.utf8_ltrim(cand, characters="-")
+    ndig = np.asarray(pc.utf8_length(digits))
+    limit = pc.if_else(neg, _INT64_MIN_ABS_STR, _INT64_MAX_STR)
+    in_range = (ndig < 19) | (
+        (ndig == 19) & np.asarray(pc.less_equal(digits, limit)).astype(bool)
+    )
+    mask = form.copy()
+    pos = np.flatnonzero(form)
+    mask[pos[~in_range]] = False
+    vals = np.asarray(
+        pc.cast(pc.filter(cand, pa.array(in_range)), pa.int64())
+    ).astype(np.int64)
+    return mask, vals
+
+
+def classify_encode_float_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native variant of :func:`classify_encode_float`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    form = np.asarray(
+        pc.match_substring_regex(arr, r"^-?[0-9]*\.[0-9]+$")
+    ).astype(bool)
+    if not form.any():
+        return form, np.empty(0, dtype=np.int64)
+    cand = pc.filter(arr, pa.array(form))
+    neg = np.asarray(pc.starts_with(cand, pattern="-")).astype(bool)
+    body = pc.utf8_ltrim(cand, characters="-")
+    digit_str = pc.replace_substring(body, pattern=".", replacement="")
+    ndig = np.asarray(pc.utf8_length(digit_str)).astype(np.int64)
+    dot_pos = np.asarray(pc.find_substring(body, pattern=".")).astype(np.int64)
+    body_len = np.asarray(pc.utf8_length(body)).astype(np.int64)
+    dec_from_right = body_len - 1 - dot_pos
+
+    representable = ndig <= 16
+    mask = form.copy()
+    pos = np.flatnonzero(form)
+    mask[pos[~representable]] = False
+
+    digits_val = np.asarray(
+        pc.cast(pc.filter(digit_str, pa.array(representable)), pa.uint64())
+    ).astype(np.uint64)
+    enc = np.zeros(int(representable.sum()), dtype=np.uint64)
+    enc |= np.where(neg[representable], np.uint64(1) << np.uint64(63), np.uint64(0))
+    enc |= (digits_val & np.uint64(_DIGITS_MASK)) << np.uint64(8)
+    enc |= ((ndig[representable].astype(np.uint64) - 1) & np.uint64(0xF)) << np.uint64(4)
+    enc |= (dec_from_right[representable].astype(np.uint64) - 1) & np.uint64(0xF)
+    return mask, enc.view(np.int64)
+
+
 def classify_encode_int(tokens: pd.Series) -> tuple[pd.Series, np.ndarray]:
     """Return (bool mask over `tokens`, int64 values for the masked rows).
 

@@ -48,6 +48,12 @@ _TOKEN_CLASS = r"+\-.0-9A-Za-z\\_"
 # One alternation: a delimiter run OR a token run. extractall() walks the
 # string once in C and returns every segment in order.
 _SEGMENT_RE = re.compile(rf"(?P<d>[^{_TOKEN_CLASS}]+)|(?P<t>[{_TOKEN_CLASS}]+)")
+# Batch variant: the whole Arrow batch is joined with NUL sentinels and
+# scanned with ONE findall call; NUL is excluded from both classes so
+# segments never cross row boundaries.
+_SEGMENT_BATCH_RE = re.compile(
+    rf"([^{_TOKEN_CLASS}\x00]+)|([{_TOKEN_CLASS}]+)"
+)
 
 # Chars needing escape inside logtype constants (parsing.inc:20-31).
 _ESCAPE_RE = re.compile(r"([\x11\x12\x13\\])")
@@ -63,6 +69,46 @@ def _escape_series(s: pd.Series) -> pd.Series:
     return s.str.replace(_ESCAPE_RE, r"\\\1", regex=True)
 
 
+def _group_lists(row_pos: np.ndarray, values, n: int) -> np.ndarray:
+    """Split ``values`` (aligned with sorted ``row_pos``) into per-row
+    Python lists; rows with no entries get []. One tolist() then plain
+    list slicing — no np.split (its per-chunk overhead dominated) and no
+    pandas groupby."""
+    out = np.empty(n, dtype=object)
+    if len(values):
+        present, starts = np.unique(row_pos, return_index=True)
+        bounds = np.append(starts[1:], len(values))
+        vl = values.tolist() if hasattr(values, "tolist") else list(values)
+        for r, s, e in zip(present.tolist(), starts.tolist(), bounds.tolist()):
+            out[r] = vl[s:e]
+        for r in np.flatnonzero(np.equal(out, None)).tolist():
+            out[r] = []
+    else:
+        out[:] = [[] for _ in range(n)]
+    return out
+
+
+def _group_join(row_pos: np.ndarray, segs, n: int) -> np.ndarray:
+    """Per-row ''.join of segments (aligned with sorted row_pos)."""
+    out = np.full(n, "", dtype=object)
+    if len(segs):
+        present, starts = np.unique(row_pos, return_index=True)
+        bounds = np.append(starts[1:], len(segs))
+        sl = segs.tolist() if hasattr(segs, "tolist") else list(segs)
+        join = "".join
+        for r, s, e in zip(present.tolist(), starts.tolist(), bounds.tolist()):
+            out[r] = join(sl[s:e])
+    return out
+
+
+def _row_ordinals(row_pos: np.ndarray) -> np.ndarray:
+    """0-based ordinal of each entry within its (sorted) row group."""
+    if not len(row_pos):
+        return np.zeros(0, dtype=np.int64)
+    _, starts, counts = np.unique(row_pos, return_index=True, return_counts=True)
+    return np.arange(len(row_pos), dtype=np.int64) - np.repeat(starts, counts)
+
+
 def tokenize_frame(texts: pd.Series) -> pd.DataFrame:
     """Tokenize + encode a batch of messages.
 
@@ -76,96 +122,126 @@ def tokenize_frame(texts: pd.Series) -> pd.DataFrame:
       dict vars hold the 0-based ordinal of that dict var *within the row*
       (replaced by the global dictionary ID after the dictionary join).
     - ``dict_strs``: list[str], only the dictionary-variable strings in order
-    """
-    texts = texts.fillna("").astype(str)
-    idx = texts.index
 
-    parts = texts.str.extractall(_SEGMENT_RE)
-    if parts.empty:
-        empty = pd.DataFrame(
+    Hot path: ONE C regex pass over the NUL-joined batch (findall), then
+    pyarrow compute (RE2, C++) for every per-segment classification and
+    the escape rewrite, then np.split-based per-row regrouping. No pandas
+    str ops (they are per-element Python re calls), no pandas groupby.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = texts.index
+    tl = [
+        x if isinstance(x, str) else ("" if x is None or x != x else str(x))
+        for x in texts.tolist()
+    ]
+    n = len(tl)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "logtype": pd.Series([""] * len(idx), index=idx, dtype=object),
-                "var_strs": [[] for _ in idx],
-                "var_types": [[] for _ in idx],
-                "encoded": [[] for _ in idx],
-                "dict_strs": [[] for _ in idx],
+                "logtype": pd.Series([""] * n, index=idx, dtype=object),
+                "var_strs": [[] for _ in range(n)],
+                "var_types": [[] for _ in range(n)],
+                "encoded": [[] for _ in range(n)],
+                "dict_strs": [[] for _ in range(n)],
             },
             index=idx,
         )
-        return empty
 
-    tok = parts["t"]
-    delim = parts["d"]
-    is_tok = tok.notna()
-    match_num = parts.index.get_level_values("match")
+    if any("\x00" in t for t in tl):
+        # NUL would collide with the batch sentinel: fall back to a
+        # per-row scan (rare — NUL bytes in log text).
+        seg_rows: list[int] = []
+        d_list: list[str] = []
+        t_list: list[str] = []
+        for r, t in enumerate(tl):
+            for d, tk in _SEGMENT_RE.findall(t):
+                seg_rows.append(r)
+                d_list.append(d)
+                t_list.append(tk)
+        if not d_list:
+            return _empty()
+        row_pos = np.asarray(seg_rows, dtype=np.int64)
+    else:
+        matches = _SEGMENT_BATCH_RE.findall("\x00".join(tl))
+        if not matches:
+            return _empty()
+        d_list, t_list = zip(*matches)
+        # Segments tile the sentinel-free concatenation, so cumulative
+        # segment lengths against cumulative text lengths recover each
+        # segment's row (all C-level).
+        text_lens = np.fromiter(map(len, tl), dtype=np.int64, count=n)
+        seg_lens = np.fromiter(map(len, d_list), dtype=np.int64, count=len(d_list))
+        seg_lens += np.fromiter(map(len, t_list), dtype=np.int64, count=len(t_list))
+        seg_start = np.cumsum(seg_lens) - seg_lens
+        row_pos = np.searchsorted(np.cumsum(text_lens), seg_start, side="right")
+
+    d_arr = pa.array(d_list, type=pa.string())
+    t_arr = pa.array(t_list, type=pa.string())
+    is_tok = np.asarray(pc.not_equal(t_arr, "")).astype(bool)
 
     # Char directly before a token is the last char of the preceding delim
-    # segment (segments alternate and tile the string); a token with
-    # match==0 sits at the start of the message (parsing.cpp:86 checks
-    # str[begin_pos-1]).
-    prev_delim = delim.shift(1)
-    preceded_by_eq = (match_num != 0) & (prev_delim.str.endswith("=") == True).to_numpy()  # noqa: E712
+    # segment (segments alternate and tile each row; parsing.cpp:86 checks
+    # str[begin_pos-1]). A row's first segment has no predecessor.
+    d_ends_eq = np.asarray(pc.ends_with(d_arr, pattern="=")).astype(bool)
+    prev_ends_eq = np.concatenate(([False], d_ends_eq[:-1]))
+    same_row_as_prev = np.concatenate(([False], row_pos[1:] == row_pos[:-1]))
+    preceded_by_eq_all = prev_ends_eq & same_row_as_prev
 
-    has_digit = tok.str.contains(_HAS_DIGIT_RE, na=False).to_numpy()
-    has_alpha = tok.str.contains(_HAS_ALPHA_RE, na=False).to_numpy()
-    is_hex = tok.str.fullmatch(_HEX_RE, na=False).to_numpy()
-    is_var = is_tok.to_numpy() & (has_digit | (preceded_by_eq & has_alpha) | is_hex)
+    tok_only = pc.filter(t_arr, pa.array(is_tok))
+    has_digit = np.asarray(pc.match_substring_regex(tok_only, "[0-9]")).astype(bool)
+    has_alpha = np.asarray(pc.match_substring_regex(tok_only, "[A-Za-z]")).astype(bool)
+    is_hex = np.asarray(
+        pc.match_substring_regex(tok_only, "^[0-9a-fA-F]{2,}$")
+    ).astype(bool)
+    is_var_tok = has_digit | (preceded_by_eq_all[is_tok] & has_alpha) | is_hex
 
-    var_tok = tok[is_var]
-    is_int_v, int_vals = encoder.classify_encode_int(var_tok)
-    is_float_v, float_vals = encoder.classify_encode_float(var_tok)
+    is_var = np.zeros(len(is_tok), dtype=bool)
+    is_var[is_tok] = is_var_tok
+
+    var_arr = pc.filter(tok_only, pa.array(is_var_tok))
+    var_rows = row_pos[is_var]
+    is_int_v, int_vals = encoder.classify_encode_int_arrow(var_arr)
+    is_float_v, float_vals = encoder.classify_encode_float_arrow(var_arr)
     is_float_v &= ~is_int_v  # int is checked first (EncodedVariableInterpreter.cpp:439-446)
 
-    var_types = np.full(len(var_tok), VT_DICT, dtype=np.int8)
-    var_types[is_int_v.to_numpy()] = VT_INT
-    var_types[is_float_v.to_numpy()] = VT_FLOAT
+    var_types = np.full(len(var_rows), VT_DICT, dtype=np.int8)
+    var_types[is_int_v] = VT_INT
+    var_types[is_float_v] = VT_FLOAT
 
-    encoded_vals = np.zeros(len(var_tok), dtype=np.int64)
-    encoded_vals[is_int_v.to_numpy()] = int_vals
-    encoded_vals[is_float_v.to_numpy()] = float_vals
+    encoded_vals = np.zeros(len(var_rows), dtype=np.int64)
+    encoded_vals[is_int_v] = int_vals
+    encoded_vals[is_float_v] = float_vals
     # Dict slots: ordinal of the dict var within its row.
     is_dict_v = var_types == VT_DICT
-    row_of_var = var_tok.index.get_level_values(0)
-    dict_rows = pd.Series(np.ones(int(is_dict_v.sum()), dtype=np.int64),
-                          index=row_of_var[is_dict_v])
-    if len(dict_rows):
-        encoded_vals[is_dict_v] = (dict_rows.groupby(level=0).cumsum() - 1).to_numpy()
+    if is_dict_v.any():
+        encoded_vals[is_dict_v] = _row_ordinals(var_rows[is_dict_v])
 
     # --- logtype assembly: per segment emit escaped-constant or placeholder.
-    seg_out = pd.Series(index=parts.index, dtype=object)
-    seg_out.loc[~is_tok.to_numpy()] = _escape_series(delim[~is_tok.to_numpy()])
-    const_tok_mask = is_tok.to_numpy() & ~is_var
-    seg_out.loc[const_tok_mask] = _escape_series(tok[const_tok_mask])
-    placeholder_series = pd.Series(var_types, index=var_tok.index).map(_PLACEHOLDER_FOR_TYPE)
-    seg_out.loc[is_var] = placeholder_series
+    # Escape pass runs over ALL segments in one C++ call; var slots are
+    # overwritten with placeholders afterwards.
+    merged = pc.binary_join_element_wise(d_arr, t_arr, "")
+    escaped = pc.replace_substring_regex(
+        merged, pattern=r"([\x11\x12\x13\\])", replacement=r"\\\1"
+    )
+    seg_out = escaped.to_numpy(zero_copy_only=False)
+    ph_map = np.array(
+        [PLACEHOLDER_INT, PLACEHOLDER_FLOAT, PLACEHOLDER_DICT], dtype=object
+    )
+    seg_out[is_var] = ph_map[var_types.astype(np.int64)]
 
-    logtype = seg_out.groupby(level=0).agg("".join).reindex(idx, fill_value="")
-
-    # --- per-row aggregation of variable columns.
-    def _agg_lists(values: pd.Series, caster) -> pd.Series:
-        if values.empty:
-            return pd.Series([[] for _ in idx], index=idx, dtype=object)
-        grouped = values.groupby(level=0).agg(list).map(caster)
-        out = grouped.reindex(idx)
-        miss = out.isna()
-        if miss.any():
-            out[miss] = pd.Series([[] for _ in range(int(miss.sum()))],
-                                  index=out.index[miss], dtype=object)
-        return out
-
-    ident = lambda x: x  # noqa: E731
-    var_strs = _agg_lists(var_tok, ident)
-    var_types_col = _agg_lists(pd.Series(var_types, index=var_tok.index), ident)
-    encoded_col = _agg_lists(pd.Series(encoded_vals, index=var_tok.index), ident)
-    dict_strs = _agg_lists(var_tok[is_dict_v], ident)
+    logtype = _group_join(row_pos, seg_out, n)
+    var_np = var_arr.to_numpy(zero_copy_only=False)
 
     return pd.DataFrame(
         {
-            "logtype": logtype,
-            "var_strs": var_strs,
-            "var_types": var_types_col,
-            "encoded": encoded_col,
-            "dict_strs": dict_strs,
+            "logtype": pd.Series(logtype, index=idx),
+            "var_strs": _group_lists(var_rows, var_np, n),
+            "var_types": _group_lists(var_rows, var_types, n),
+            "encoded": _group_lists(var_rows, encoded_vals, n),
+            "dict_strs": _group_lists(var_rows[is_dict_v], var_np[is_dict_v], n),
         },
         index=idx,
     )
@@ -195,64 +271,71 @@ def decode_frame(
     caller via the var-dict join). The Nth dictionary placeholder in the
     logtype consumes ``dict_strs[N]``.
     """
-    logtypes = logtypes.fillna("").astype(str)
     idx = logtypes.index
+    logtypes = logtypes.fillna("").astype(str).reset_index(drop=True)
+    encoded = encoded.reset_index(drop=True)
+    dict_strs = dict_strs.reset_index(drop=True)
+    n = len(logtypes)
 
     parts = logtypes.str.extractall(_LOGTYPE_SEG_RE)
     if parts.empty:
-        return pd.Series([""] * len(idx), index=idx, dtype=object)
+        return pd.Series([""] * n, index=idx, dtype=object)
 
-    seg_out = pd.Series(index=parts.index, dtype=object)
+    row_pos = parts.index.get_level_values(0).to_numpy()
+    seg_out = np.empty(len(parts), dtype=object)
     const_mask = parts["c"].notna().to_numpy()
-    seg_out.loc[const_mask] = parts["c"][const_mask]
+    seg_out[const_mask] = parts["c"][const_mask].to_numpy()
     esc_mask = parts["e"].notna().to_numpy()
-    seg_out.loc[esc_mask] = parts["e"][esc_mask].str[1]
+    seg_out[esc_mask] = parts["e"][esc_mask].str[1].to_numpy()
 
     ph = parts["p"]
     ph_mask = ph.notna().to_numpy()
     if ph_mask.any():
-        ph_rows = parts.index.get_level_values(0)[ph_mask]
-        ph_ord = pd.Series(np.ones(int(ph_mask.sum()), dtype=np.int64), index=ph_rows)
-        ph_ord = (ph_ord.groupby(level=0).cumsum() - 1).to_numpy()
-
-        # Explode per-row encoded / dict lists into flat arrays keyed by
-        # (row, ordinal) and align with placeholder occurrences.
-        enc_flat = encoded.explode()
-        enc_flat = enc_flat[enc_flat.notna()]
-        enc_rows = enc_flat.index
-        enc_ord = (pd.Series(np.ones(len(enc_flat), dtype=np.int64), index=enc_rows)
-                   .groupby(level=0).cumsum() - 1).to_numpy()
-        enc_key = pd.MultiIndex.from_arrays([enc_rows, enc_ord])
-        enc_by_key = pd.Series(enc_flat.to_numpy(dtype=np.int64), index=enc_key)
-
-        dict_flat = dict_strs.explode()
-        dict_flat = dict_flat[dict_flat.notna()]
-        dict_rows = dict_flat.index
-        dict_ord = (pd.Series(np.ones(len(dict_flat), dtype=np.int64), index=dict_rows)
-                    .groupby(level=0).cumsum() - 1).to_numpy()
-        dict_key = pd.MultiIndex.from_arrays([dict_rows, dict_ord])
-        dict_by_key = pd.Series(dict_flat.to_numpy(dtype=object), index=dict_key)
-
-        ph_key = pd.MultiIndex.from_arrays([ph_rows, ph_ord])
-        ph_vals = enc_by_key.reindex(ph_key).to_numpy(dtype=np.int64)
+        ph_rows = row_pos[ph_mask]
+        ph_ord = _row_ordinals(ph_rows)
         ph_char = ph[ph_mask].to_numpy()
 
-        out_strs = np.empty(len(ph_vals), dtype=object)
+        # Flatten per-row lists into (row, ordinal)-addressable arrays.
+        def _flat_lookup(lists: pd.Series, rows: np.ndarray, ords: np.ndarray,
+                         dtype) -> np.ndarray:
+            counts = np.fromiter(
+                (len(x) if x is not None else 0 for x in lists),
+                dtype=np.int64, count=n,
+            )
+            flat = np.empty(int(counts.sum()), dtype=dtype)
+            pos = 0
+            for x in lists:
+                if x is not None and len(x):
+                    flat[pos:pos + len(x)] = x
+                    pos += len(x)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            keys = offsets[rows] + ords
+            ok = ords < counts[rows]
+            out = np.empty(len(rows), dtype=object)
+            out[ok] = flat[keys[ok]]
+            return out
+
+        out_strs = np.empty(len(ph_rows), dtype=object)
         int_m = ph_char == PLACEHOLDER_INT
-        if int_m.any():
-            out_strs[int_m] = pd.Series(ph_vals[int_m]).astype(str).to_numpy()
         float_m = ph_char == PLACEHOLDER_FLOAT
-        if float_m.any():
-            out_strs[float_m] = encoder.decode_float_batch(ph_vals[float_m])
         dict_m = ph_char == PLACEHOLDER_DICT
+
+        if int_m.any() or float_m.any():
+            enc_vals = _flat_lookup(encoded, ph_rows, ph_ord, np.int64)
+            if int_m.any():
+                out_strs[int_m] = np.array(
+                    [str(v) for v in enc_vals[int_m]], dtype=object
+                )
+            if float_m.any():
+                out_strs[float_m] = encoder.decode_float_batch(
+                    enc_vals[float_m].astype(np.int64)
+                )
         if dict_m.any():
             # Nth dict placeholder in a row -> dict_strs[N] for that row.
-            dict_ph_ord = (pd.Series(np.ones(int(dict_m.sum()), dtype=np.int64),
-                                     index=ph_rows[dict_m])
-                           .groupby(level=0).cumsum() - 1).to_numpy()
-            dm_key = pd.MultiIndex.from_arrays([ph_rows[dict_m], dict_ph_ord])
-            out_strs[dict_m] = dict_by_key.reindex(dm_key).to_numpy(dtype=object)
+            dict_ph_ord = _row_ordinals(ph_rows[dict_m])
+            out_strs[dict_m] = _flat_lookup(dict_strs, ph_rows[dict_m],
+                                            dict_ph_ord, object)
 
-        seg_out.loc[ph_mask] = pd.Series(out_strs, index=parts.index[ph_mask])
+        seg_out[ph_mask] = out_strs
 
-    return seg_out.groupby(level=0).agg("".join).reindex(idx, fill_value="")
+    return pd.Series(_group_join(row_pos, seg_out, n), index=idx)

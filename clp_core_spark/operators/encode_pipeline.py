@@ -47,19 +47,20 @@ PARSED_SCHEMA = StructType(
 )
 
 # Above this many distinct dictionary variables, resolve IDs via shuffle
-# join instead of broadcasting the dict into the Arrow batches.
-BROADCAST_VAR_DICT_MAX = 2_000_000
+# join instead of broadcasting the dict into the Arrow batches. The
+# broadcast path costs one driver collect + a per-Python-worker pickle
+# load, so it anti-scales with executor count for large dicts — keep it
+# for genuinely small dictionaries only.
+BROADCAST_VAR_DICT_MAX = 200_000
 
 
 @pandas_udf(PARSED_SCHEMA)
 def _parse_udf(texts: pd.Series) -> pd.DataFrame:
     from clp_core_spark.functions.tokenizer import tokenize_frame
 
-    out = tokenize_frame(texts)
-    # Arrow needs plain lists (not numpy scalars) in nested columns.
-    out["var_types"] = out["var_types"].map(lambda xs: [int(x) for x in xs])
-    out["encoded"] = out["encoded"].map(lambda xs: [int(x) for x in xs])
-    return out
+    # tokenize_frame emits plain-Python lists (ndarray.tolist), which Arrow
+    # ingests directly — no per-row conversion needed here.
+    return tokenize_frame(texts)
 
 
 def parse(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -94,16 +95,21 @@ def resolve_dict_ids(
 
         @pandas_udf(ArrayType(LongType()))
         def _lookup(dict_strs: pd.Series) -> pd.Series:
+            import numpy as np
+
             m = bc.value
-            flat = dict_strs.explode()
-            mask = flat.notna()
-            ids = flat[mask].map(m)
-            out = pd.Series([[] for _ in range(len(dict_strs))], index=dict_strs.index,
-                            dtype=object)
-            if mask.any():
-                grouped = ids.groupby(level=0).agg(lambda s: [int(x) for x in s])
-                out.update(grouped)
-            return out
+            idx = dict_strs.index
+            counts = np.fromiter(
+                (len(x) if x is not None else 0 for x in dict_strs),
+                dtype=np.int64, count=len(dict_strs),
+            )
+            flat = pd.Series(
+                [s for x in dict_strs if x is not None for s in x], dtype=object
+            )
+            ids = flat.map(m).to_numpy(dtype=object)
+            bounds = np.cumsum(counts)[:-1]
+            chunks = np.split(ids, bounds)
+            return pd.Series([c.tolist() for c in chunks], index=idx, dtype=object)
 
         resolved = parsed.withColumn("dict_ids", _lookup(F.col("dict_strs")))
     else:
@@ -197,8 +203,17 @@ def decode(
 
         @pandas_udf(ArrayType(StringType()))
         def _ids_to_strs(ids: pd.Series) -> pd.Series:
+            import numpy as np
+
             m = bc.value
-            return ids.map(lambda xs: [m.get(int(x)) for x in xs])
+            counts = np.fromiter(
+                (len(x) if x is not None else 0 for x in ids),
+                dtype=np.int64, count=len(ids),
+            )
+            flat = pd.Series([int(v) for x in ids if x is not None for v in x])
+            strs = flat.map(m).to_numpy(dtype=object)
+            chunks = np.split(strs, np.cumsum(counts)[:-1])
+            return pd.Series([c.tolist() for c in chunks], index=ids.index, dtype=object)
 
         df = df.withColumn("dict_strs", _ids_to_strs(F.col("_dict_ids")))
     else:
