@@ -26,6 +26,7 @@ from clp_core_spark.operators import (
     aggregate,
     dedup,
     encode_pipeline,
+    kql,
     route,
     search,
     similarity,
@@ -277,6 +278,18 @@ def _q_token_counts_bpe(spark, sf_dir):
     )
 
 
+def _q_kql_bool(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return kql.kql_filter(ev, "event_type: error AND value > 100").select("event_id")
+
+
+def _q_kql_wildcard(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return kql.kql_filter(
+        ev, "props: *87* OR event_type: sig*"
+    ).select("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clp_roundtrip_docs": _q_roundtrip_docs,
@@ -303,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
         "text_token_counts_bpe": _q_token_counts_bpe,
+        "kql_bool_range": _q_kql_bool,
+        "kql_wildcard_or": _q_kql_wildcard,
     }
 
 
@@ -406,6 +421,14 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text,"
             " '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens FROM documents"
+        ),
+        "kql_bool_range": (
+            "SELECT event_id FROM events"
+            " WHERE event_type = 'error' AND value > 100"
+        ),
+        "kql_wildcard_or": (
+            "SELECT event_id FROM events"
+            " WHERE props LIKE '%87%' OR event_type LIKE 'sig%'"
         ),
     }
 

@@ -1,0 +1,146 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing,
+deterministic outputs) is real and tested; the actual media codecs are
+NOT available in this environment, so the decode kernels are stubbed:
+``decode_image`` raises NotImplementedError unless ``fake=True``, in
+which case a deterministic fake decoder (content-hash-seeded) stands in
+so downstream feature/resize/frame-sample operators are testable.
+
+Scale notes: media bytes stay in executor-side Arrow buffers end-to-end;
+``spark.sql.files.maxPartitionBytes`` (or an explicit repartition by
+size) bounds per-task memory; feature vectors come back as compact
+``array<float>`` columns suitable for the similarity operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+IMAGE_SCHEMA = (
+    "id long, width int, height int, channels int, format string"
+)
+FEATURE_SCHEMA = "id long, feature array<float>"
+FRAME_SCHEMA = "id long, frame_idx int, frame_ts_ms long"
+
+
+def _fake_pixels(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Deterministic stand-in decoder: pixels derived from a rolling hash
+    of the payload — stable across runs/executors, no media libs."""
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    n = width * height * channels
+    idx = np.arange(n, dtype=np.uint64)
+    vals = (idx * np.uint64(0x9E3779B97F4A7C15) + seed) >> np.uint64(56)
+    return vals.astype(np.uint8).reshape(height, width, channels)
+
+
+def decode_image(payload: bytes, width: int, height: int, channels: int,
+                 fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_pixels(payload, width, height, channels)
+    raise NotImplementedError(
+        "real image decoding needs an image codec library (not in this "
+        "container); pass fake=True for the deterministic stub"
+    )
+
+
+def image_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "data",
+    meta_cols: tuple[str, str, str] = ("width", "height", "channels"),
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode -> per-image mean/std per channel. mapInPandas streams Arrow
+    batches; nothing is collected to the driver."""
+    w_col, h_col, c_col = meta_cols
+    out_schema = (
+        f"{id_col} long, mean array<float>, std array<float>"
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means, stds = [], [], []
+            for _, row in pdf.iterrows():
+                px = decode_image(
+                    bytes(row[bytes_col]), int(row[w_col]), int(row[h_col]),
+                    int(row[c_col]), fake=fake_decode,
+                ).astype(np.float64)
+                ids.append(int(row[id_col]))
+                means.append([float(x) for x in px.mean(axis=(0, 1))])
+                stds.append([float(x) for x in px.std(axis=(0, 1))])
+            yield pd.DataFrame({id_col: ids, "mean": means, "std": stds})
+
+    return df.mapInPandas(_kernel, schema=out_schema)
+
+
+def image_resize_features(
+    df: DataFrame,
+    target: tuple[int, int] = (8, 8),
+    id_col: str = "id",
+    bytes_col: str = "data",
+    meta_cols: tuple[str, str, str] = ("width", "height", "channels"),
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> flattened float feature
+    (the embedding-ish output an ANN index would consume)."""
+    w_col, h_col, c_col = meta_cols
+    tw, th = target
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for _, row in pdf.iterrows():
+                px = decode_image(
+                    bytes(row[bytes_col]), int(row[w_col]), int(row[h_col]),
+                    int(row[c_col]), fake=fake_decode,
+                )
+                ys = (np.arange(th) * px.shape[0] // th).astype(int)
+                xs = (np.arange(tw) * px.shape[1] // tw).astype(int)
+                small = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                ids.append(int(row[id_col]))
+                feats.append([float(x) for x in small.ravel()])
+            yield pd.DataFrame({id_col: ids, "feature": feats})
+
+    return df.mapInPandas(_kernel, schema=f"{id_col} long, feature array<float>")
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame timestamp.
+    Pure JVM (sequence+explode) — the actual frame extraction would hang
+    off the (stubbed) decoder in a mapInPandas stage."""
+    n_frames = (F.col(duration_col) / every_ms).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                lambda i: i * every_ms,
+            )
+        ).alias("frame_idx", "frame_ts_ms"),
+    )
+
+
+def synthetic_media_table(spark, n: int = 64, width: int = 32, height: int = 24,
+                          channels: int = 3) -> DataFrame:
+    """Deterministic binary-column fixture (payload = id-seeded bytes)."""
+    df = spark.range(n).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("data"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.lit(channels).alias("channels"),
+        (F.col("id") % 5 * 1500 + 500).cast("long").alias("duration_ms"),
+    )
+    return df

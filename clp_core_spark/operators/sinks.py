@@ -1,0 +1,55 @@
+"""Reconstruction sinks: decompress-to-text and JSON re-serialization.
+
+CLP analogs: FileDecompressor (clp/clp/FileDecompressor.cpp:1-77) writes
+original log files back out; JsonConstructor (clp_s/JsonConstructor.cpp:
+1-187) re-serializes records, optionally in original log order via the
+log_event_idx metadata column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from clp_core_spark.operators import encode_pipeline
+
+
+def decompress_to_text(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    out_path: str,
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> None:
+    """Decode every row and write plain text lines in stable order
+    (the per-turn text-equality surface: reading the output back equals
+    the original corpus under (conv_id, turn_idx) ordering)."""
+    key_cols = key_cols or ["conv_id", "turn_idx"]
+    order_cols = order_cols or key_cols
+    decoded = encode_pipeline.decode(encoded, logtype_dict, var_dict, key_cols)
+    (
+        decoded.repartition(1)
+        .sortWithinPartitions(*order_cols)
+        .select(F.col("decoded_text").alias("value"))
+        .write.mode("overwrite")
+        .text(out_path)
+    )
+
+
+def reconstruct_json(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    key_cols: list[str],
+    ordered: bool = True,
+) -> DataFrame:
+    """One JSON string per row (key cols + decoded text), optionally in
+    original ingest order — JsonConstructor's ordered-decompression mode
+    (clp_s/JsonConstructor.cpp:60-180)."""
+    decoded = encode_pipeline.decode(encoded, logtype_dict, var_dict, key_cols)
+    cols = [*key_cols, F.col("decoded_text").alias("text")]
+    out = decoded.select(F.to_json(F.struct(*cols)).alias("json"), *key_cols)
+    if ordered:
+        out = out.orderBy(*key_cols)
+    return out.select("json")
