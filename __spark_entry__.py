@@ -290,6 +290,36 @@ def _q_kql_wildcard(spark, sf_dir):
     ).select("event_id")
 
 
+def _q_window_gap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    )
+
+
+def _q_search_time_range(spark, sf_dir):
+    """Dictionary search constrained to a ts range — CLP's time-range
+    file/segment skip (clp/Query.cpp:123-138, clo.cpp:520-526) becomes a
+    partition-prunable predicate ANDed before the logtype probe."""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    lo, hi = 1704844800000, 1705449600000  # 2024-01-10 .. 2024-01-17 UTC
+    return search.search_text(
+        enc, lt, vd, "*user=13 *", keys, ts_begin_ms=lo, ts_end_ms=hi
+    ).select("event_id")
+
+
+def _q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clp_roundtrip_docs": _q_roundtrip_docs,
@@ -318,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts_bpe": _q_token_counts_bpe,
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
+        "window_turn_gap": _q_window_gap,
+        "clp_search_time_range": _q_search_time_range,
+        "agg_distinct_users": _q_distinct_users,
     }
 
 
@@ -429,6 +462,21 @@ def oracle_sql() -> dict[str, str]:
         "kql_wildcard_or": (
             "SELECT event_id FROM events"
             " WHERE props LIKE '%87%' OR event_type LIKE 'sig%'"
+        ),
+        "window_turn_gap": (
+            "SELECT event_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms"
+            " FROM events"
+        ),
+        "clp_search_time_range": (
+            f"SELECT event_id FROM (SELECT event_id, ts, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%user=13 %'"
+            " AND epoch_ms(ts) >= 1704844800000"
+            " AND epoch_ms(ts) <= 1705449600000"
+        ),
+        "agg_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users"
+            " FROM events GROUP BY event_type"
         ),
     }
 

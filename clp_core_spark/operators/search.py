@@ -462,10 +462,13 @@ def search(
     select_cols = select_cols or []
     out_cols = key_cols + select_cols
     df = encoded
+    # NTZ timestamps read from parquet are interpreted in the session TZ
+    # (UTC per get_spark) by the cast.
+    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
     if ts_begin_ms is not None:
-        df = df.filter(F.unix_millis(F.col("ts")) >= ts_begin_ms)
+        df = df.filter(epoch >= ts_begin_ms)
     if ts_end_ms is not None:
-        df = df.filter(F.unix_millis(F.col("ts")) <= ts_end_ms)
+        df = df.filter(epoch <= ts_end_ms)
 
     if compiled.matches_all:
         # SupercedesAll: no subqueries — but if the *original* pattern is
