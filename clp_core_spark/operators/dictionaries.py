@@ -77,6 +77,30 @@ def build_logtype_dict(
     return existing.unionByName(assign_dense_ids(new, logtype_col, "logtype_id", start_id=start))
 
 
+def build_var_dict_hash(
+    parsed: DataFrame,
+    existing: DataFrame | None = None,
+    dict_strs_col: str = "dict_strs",
+) -> DataFrame:
+    """``DataFrame[var_str, var_id=xxhash64(var_str)]`` — the scale path:
+    IDs are content hashes, so rows can compute their own IDs inline (no
+    resolve join) and epochs merge by plain distinct-union. 64-bit
+    collision odds at 10^9 entries ~ 3e-2; at CLP-typical dictionary
+    sizes (millions) they are negligible, and a collision would surface
+    in the decode-equality gate."""
+    vals = (
+        parsed.select(F.explode(dict_strs_col).alias("var_str"))
+        .where(F.col("var_str").isNotNull())
+        .distinct()
+        .withColumn("var_id", F.xxhash64("var_str"))
+    )
+    if existing is None:
+        return vals
+    return existing.unionByName(
+        vals.join(existing, "var_str", "left_anti")
+    )
+
+
 def build_var_dict(
     parsed: DataFrame,
     existing: DataFrame | None = None,

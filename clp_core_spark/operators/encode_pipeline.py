@@ -151,28 +151,58 @@ def encode(
     existing_logtype_dict: DataFrame | None = None,
     existing_var_dict: DataFrame | None = None,
     keep_text: bool = False,
+    var_id_mode: str = "hash",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full parse->encode. Returns (encoded_df, logtype_dict, var_dict).
 
     ``encoded_df`` columns: key_cols + passthrough + logtype_id,
     encoded_vars (array<long>), var_types (array<int>), n_vars.
+
+    var_id_mode:
+    - ``"hash"`` (default, the 100 TB path): a dict var's ID is
+      ``xxhash64(var_str)``, computed inline in the row — zero shuffle,
+      zero broadcast, trivially stable across epochs/executors. The var
+      dictionary table is still built (distinct var_str + id) for search
+      probes and decode joins. CLP's IDs are opaque handles; only the
+      deterministic 1:1 string<->ID mapping matters for semantics.
+    - ``"dense"``: CLP-exact dense sequential IDs
+      (clp/VariableDictionaryWriter.cpp:16-23 analog) via
+      dictionaries.assign_dense_ids + broadcast/shuffle resolve — the
+      faithful-storage mode; costs a resolve join at scale.
     """
     parsed = parse(df, text_col=text_col)
-    # Parse once, feed three consumers (logtype dict, var dict, encode join).
+    # Parse once, feed the dict builds and the encode join.
     parsed = parsed.persist()
 
-    logtype_dict = dictionaries.build_logtype_dict(parsed, existing_logtype_dict)
-    var_dict = dictionaries.build_var_dict(parsed, existing_var_dict)
-    logtype_dict = logtype_dict.persist()
-    var_dict = var_dict.persist()
+    logtype_dict = dictionaries.build_logtype_dict(
+        parsed, existing_logtype_dict
+    ).persist()
 
-    with_ids = resolve_dict_ids(parsed, var_dict, key_cols)
+    if var_id_mode == "hash":
+        var_dict = dictionaries.build_var_dict_hash(parsed, existing_var_dict)
+        with_ids = parsed.withColumn(
+            "encoded_vars",
+            F.zip_with(
+                "encoded",
+                "var_types",
+                lambda v, t: F.when(
+                    t == F.lit(VT_DICT),
+                    F.xxhash64(F.element_at("dict_strs", (v + 1).cast("int"))),
+                ).otherwise(v),
+            ),
+        ).drop("encoded")
+    else:
+        var_dict = dictionaries.build_var_dict(parsed, existing_var_dict).persist()
+        with_ids = resolve_dict_ids(parsed, var_dict, key_cols)
+
     encoded = with_ids.join(F.broadcast(logtype_dict), "logtype")
 
     drop_cols = ["logtype", "var_strs", "dict_strs", "dict_ids"]
     if not keep_text:
         drop_cols.append(text_col)
-    encoded = encoded.withColumn("n_vars", F.size("encoded_vars")).drop(*drop_cols)
+    encoded = encoded.withColumn("n_vars", F.size("encoded_vars")).drop(
+        *[c for c in drop_cols if c in with_ids.columns]
+    )
     return encoded, logtype_dict, var_dict
 
 

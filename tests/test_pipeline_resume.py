@@ -65,8 +65,18 @@ def test_dict_ids_consistent_across_epochs(spark, input_df, work_root):
     ids = sorted(final.values())
     assert ids == list(range(len(ids)))
 
-    var_ids = [r["var_id"] for r in spark.read.parquet(f"{work_root}/dicts/var").collect()]
-    assert sorted(var_ids) == list(range(len(var_ids)))
+    # var dict (hash mode): IDs are unique and deterministic per string
+    rows = spark.read.parquet(f"{work_root}/dicts/var").collect()
+    var_ids = [r["var_id"] for r in rows]
+    assert len(set(var_ids)) == len(var_ids)
+    import pyspark.sql.functions as F2
+
+    check = (
+        spark.read.parquet(f"{work_root}/dicts/var")
+        .where(F2.xxhash64("var_str") != F2.col("var_id"))
+        .count()
+    )
+    assert check == 0
 
 
 def test_routed_rows_match_input(spark, input_df, work_root):

@@ -29,9 +29,16 @@ def test_dictionary_consistency(spark, transcripts):
     assert len({r["logtype"] for r in lt}) == n, "logtypes must be unique"
 
     vd = var_dict.collect()
-    vids = sorted(r["var_id"] for r in vd)
-    assert vids == list(range(len(vd))), "var IDs must be dense from 0"
+    vids = [r["var_id"] for r in vd]
+    assert len(set(vids)) == len(vd), "var IDs must be unique"
     assert len({r["var_str"] for r in vd}) == len(vd)
+
+    # dense mode keeps CLP's sequential-ID storage property
+    _, _, vd_dense = encode_pipeline.encode(
+        transcripts, key_cols=KEYS, var_id_mode="dense"
+    )
+    dense_ids = sorted(r["var_id"] for r in vd_dense.collect())
+    assert dense_ids == list(range(len(dense_ids))), "dense var IDs from 0"
 
 
 def test_dictionary_determinism_across_parallelism(spark, transcripts):
