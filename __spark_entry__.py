@@ -29,6 +29,7 @@ from clp_core_spark.operators import (
     kql,
     route,
     search,
+    semistructured,
     similarity,
 )
 
@@ -57,6 +58,30 @@ def _event_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TEXT_SQL = (
     "'evt ' || event_type || ' user=' || CAST(user_id AS VARCHAR)"
     " || ' props=' || props || ' v' || CAST(event_id AS VARCHAR)"
+)
+
+
+def _float_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-variable corpus: the float token is built from integers
+    (``<user_id>.<event_id%100 zero-padded>``) so Spark and DuckDB render
+    byte-identical text without float-formatting ties. Exercises CLP's
+    custom float encoding incl. zero-padded decimals ('9.05', '9.00')
+    (clp/EncodedVariableInterpreter.cpp:70-149)."""
+    ev = _t(spark, sf_dir, "events")
+    frac = F.lpad(F.pmod(F.col("event_id"), F.lit(100)).cast("string"), 2, "0")
+    text = F.concat(
+        F.lit("m "), F.col("event_type"),
+        F.lit(" f="), F.col("user_id").cast("string"), F.lit("."), frac,
+        F.lit(" q="), F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+        F.lit(".5"),
+    )
+    return ev.select("event_id", "ts", text.alias("text"))
+
+
+_FLOAT_TEXT_SQL = (
+    "'m ' || event_type || ' f=' || CAST(user_id AS VARCHAR) || '.'"
+    " || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')"
+    " || ' q=' || CAST(event_id % 7 AS VARCHAR) || '.5'"
 )
 
 def _in_list(words: list[str]) -> str:
@@ -108,6 +133,8 @@ def _encoded(spark: SparkSession, sf_dir: str, corpus: str):
     if key not in _CACHE:
         if corpus == "events":
             df, keys = _event_lines(spark, sf_dir), ["event_id"]
+        elif corpus == "floats":
+            df, keys = _float_lines(spark, sf_dir), ["event_id"]
         else:
             df, keys = _t(spark, sf_dir, "documents"), ["doc_id"]
         enc, lt_dict, var_dict = encode_pipeline.encode(
@@ -151,6 +178,29 @@ def _q_search_midstar(spark, sf_dir):
 def _q_search_dictvar(spark, sf_dir):
     enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
     return search.search_text(enc, lt, vd, "*v1234*", keys).select("event_id")
+
+
+def _q_roundtrip_floats(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "floats")
+    dec = encode_pipeline.decode(enc, lt, vd, keys)
+    return dec.select("event_id", F.col("decoded_text").alias("text"))
+
+
+def _q_search_float(spark, sf_dir):
+    """Exact float-token search: '9.05' converts to CLP's packed float
+    (EncodedVariableInterpreter.cpp:70-149) and is matched on the encoded
+    column. (A wildcarded float like '9.*' is NOT float-convertible —
+    decimal at position 0 — so CLP, and this engine, route it to an
+    empty dict probe: search-without-decompression semantics, not LIKE.)"""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "floats")
+    return search.search_text(enc, lt, vd, "*q=3.5*", keys).select("event_id")
+
+
+def _q_search_ignorecase(spark, sf_dir):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_text(
+        enc, lt, vd, "*ERROR*", keys, ignore_case=True
+    ).select("event_id")
 
 
 def _q_logtype_counts(spark, sf_dir):
@@ -278,6 +328,52 @@ def _q_token_counts_bpe(spark, sf_dir):
     )
 
 
+def _json_records(spark, sf_dir):
+    """Two-schema JSON corpus (clp_s-lite input): ints, a VarString, a
+    ClpString, and a Boolean present in 20% of records — exercising MPT
+    type inference + schema dedup (clp_s/JsonParser.cpp:195-203,
+    clp_s/SchemaMap.cpp:8-15)."""
+    ev = _t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"user": '), F.col("user_id").cast("string"),
+        F.lit(', "type": "'), F.col("event_type"),
+        F.lit('", "msg": "evt num '), F.col("event_id").cast("string"),
+        F.lit('"'),
+        F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(', "extra": true'))
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return ev.select("event_id", js.alias("js"))
+
+
+def _semistructured(spark, sf_dir):
+    key = (id(spark), sf_dir, "_clps")
+    if key not in _CACHE:
+        recs = _json_records(spark, sf_dir)
+        enc, tree, smap = semistructured.encode_semistructured(
+            recs, "js", key_cols=["event_id"]
+        )
+        _CACHE[key] = (enc.persist(), tree, smap)
+    return _CACHE[key]
+
+
+def _q_clps_schema_tree(spark, sf_dir):
+    _, tree, _ = _semistructured(spark, sf_dir)
+    return tree
+
+
+def _q_clps_schema_counts(spark, sf_dir):
+    _, _, smap = _semistructured(spark, sf_dir)
+    return smap.select("schema_key", "n_records")
+
+
+def _q_clps_typed_search(spark, sf_dir):
+    enc, _, _ = _semistructured(spark, sf_dir)
+    return enc.filter(
+        (F.col("user") > 10) & (F.col("type") == "error")
+    ).select("event_id")
+
+
 def _q_kql_bool(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return kql.kql_filter(ev, "event_type: error AND value > 100").select("event_id")
@@ -328,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_int": _q_search_int,
         "clp_search_midstar": _q_search_midstar,
         "clp_search_dictvar": _q_search_dictvar,
+        "clp_roundtrip_floats": _q_roundtrip_floats,
+        "clp_search_float": _q_search_float,
+        "clp_search_ignorecase": _q_search_ignorecase,
         "clp_logtype_counts": _q_logtype_counts,
         "clp_var_dict_size": _q_var_dict_size,
         "clp_logtype_class_counts": _q_logtype_class_counts,
@@ -346,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
         "text_token_counts_bpe": _q_token_counts_bpe,
+        "clps_schema_tree": _q_clps_schema_tree,
+        "clps_schema_counts": _q_clps_schema_counts,
+        "clps_typed_search": _q_clps_typed_search,
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
         "window_turn_gap": _q_window_gap,
@@ -381,6 +483,17 @@ def oracle_sql() -> dict[str, str]:
         "clp_search_dictvar": (
             f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
             " FROM events) WHERE t LIKE '%v1234%'"
+        ),
+        "clp_roundtrip_floats": (
+            f"SELECT event_id, {_FLOAT_TEXT_SQL} AS text FROM events"
+        ),
+        "clp_search_float": (
+            f"SELECT event_id FROM (SELECT event_id, {_FLOAT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%q=3.5%'"
+        ),
+        "clp_search_ignorecase": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE lower(t) LIKE '%error%'"
         ),
         "clp_logtype_counts": (
             f"SELECT {ev_logtype} AS logtype, count(*) AS n FROM events"
@@ -454,6 +567,27 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text,"
             " '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens FROM documents"
+        ),
+        # clp_s-lite: leaf paths sorted alphabetically (Spark JSON schema
+        # inference order); 'extra' present iff event_id % 5 = 0.
+        "clps_schema_tree": (
+            "SELECT 'extra' AS path, 'Boolean' AS node_type,"
+            " (SELECT count(*) FROM events WHERE event_id % 5 = 0) AS n_present"
+            " UNION ALL SELECT 'msg', 'ClpString',"
+            " (SELECT count(*) FROM events)"
+            " UNION ALL SELECT 'type', 'VarString',"
+            " (SELECT count(*) FROM events)"
+            " UNION ALL SELECT 'user', 'Integer',"
+            " (SELECT count(*) FROM events)"
+        ),
+        "clps_schema_counts": (
+            "SELECT CASE WHEN event_id % 5 = 0 THEN 'extra,msg,type,user'"
+            " ELSE 'msg,type,user' END AS schema_key,"
+            " count(*) AS n_records FROM events GROUP BY 1"
+        ),
+        "clps_typed_search": (
+            "SELECT event_id FROM events"
+            " WHERE user_id > 10 AND event_type = 'error'"
         ),
         "kql_bool_range": (
             "SELECT event_id FROM events"

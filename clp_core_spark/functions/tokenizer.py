@@ -109,13 +109,15 @@ def _row_ordinals(row_pos: np.ndarray) -> np.ndarray:
     return np.arange(len(row_pos), dtype=np.int64) - np.repeat(starts, counts)
 
 
-def tokenize_frame(texts: pd.Series) -> pd.DataFrame:
+def tokenize_frame(texts: pd.Series, include_var_strs: bool = True) -> pd.DataFrame:
     """Tokenize + encode a batch of messages.
 
     Returns a DataFrame aligned to ``texts.index`` with columns:
 
     - ``logtype``: template string, placeholders embedded, constants escaped
     - ``var_strs``: list[str], every variable in order of appearance
+      (omitted when ``include_var_strs=False`` — the encode pipeline never
+      reads it, and skipping it cuts the Arrow return payload)
     - ``var_types``: list[int8], VT_INT / VT_FLOAT / VT_DICT per variable
     - ``encoded``: list[int64] — CLP encoded variable per position; int
       vars hold the value, float vars hold the 64-bit CLP float packing,
@@ -139,16 +141,15 @@ def tokenize_frame(texts: pd.Series) -> pd.DataFrame:
     n = len(tl)
 
     def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "logtype": pd.Series([""] * n, index=idx, dtype=object),
-                "var_strs": [[] for _ in range(n)],
-                "var_types": [[] for _ in range(n)],
-                "encoded": [[] for _ in range(n)],
-                "dict_strs": [[] for _ in range(n)],
-            },
-            index=idx,
+        cols = {"logtype": pd.Series([""] * n, index=idx, dtype=object)}
+        if include_var_strs:
+            cols["var_strs"] = [[] for _ in range(n)]
+        cols.update(
+            var_types=[[] for _ in range(n)],
+            encoded=[[] for _ in range(n)],
+            dict_strs=[[] for _ in range(n)],
         )
+        return pd.DataFrame(cols, index=idx)
 
     if any("\x00" in t for t in tl):
         # NUL would collide with the batch sentinel: fall back to a
@@ -235,16 +236,15 @@ def tokenize_frame(texts: pd.Series) -> pd.DataFrame:
     logtype = _group_join(row_pos, seg_out, n)
     var_np = var_arr.to_numpy(zero_copy_only=False)
 
-    return pd.DataFrame(
-        {
-            "logtype": pd.Series(logtype, index=idx),
-            "var_strs": _group_lists(var_rows, var_np, n),
-            "var_types": _group_lists(var_rows, var_types, n),
-            "encoded": _group_lists(var_rows, encoded_vals, n),
-            "dict_strs": _group_lists(var_rows[is_dict_v], var_np[is_dict_v], n),
-        },
-        index=idx,
+    cols = {"logtype": pd.Series(logtype, index=idx)}
+    if include_var_strs:
+        cols["var_strs"] = _group_lists(var_rows, var_np, n)
+    cols.update(
+        var_types=_group_lists(var_rows, var_types, n),
+        encoded=_group_lists(var_rows, encoded_vals, n),
+        dict_strs=_group_lists(var_rows[is_dict_v], var_np[is_dict_v], n),
     )
+    return pd.DataFrame(cols, index=idx)
 
 
 # --- decoding ---------------------------------------------------------------

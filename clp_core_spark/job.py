@@ -1,0 +1,99 @@
+"""Cluster job entry point — the `spark-submit --py-files` surface.
+
+CLP's production shape is a scheduler that dispatches one compression
+task per archive partition to a worker fleet
+(job_orchestration/executor/compress/compression_task.py:208-360). Here
+the whole parse -> encode -> enrich -> route pipeline is ONE Spark
+application: partition-level parallelism is Spark's task scheduling, and
+the per-partition checkpoint ledger (plans/pipeline.py) gives the same
+crash-resume unit CLP gets from its jobs DB.
+
+Usage (cluster):
+
+    python scripts/package_pyfiles.py                 # -> dist/clp_core_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/clp_core_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        $(python -c 'import clp_core_spark.job as j; print(j.__file__)') \
+        --input /data/transcripts --work-root /data/clp_work \
+        --num-partitions 256 --metrics-out metrics.json
+
+Usage (local smoke / bench):
+
+    python -m clp_core_spark.job --generate 10000 \
+        --work-root /tmp/clp_job --master 'local[8]'
+
+`--master` defaults to inheriting whatever the launcher set (spark-submit
+--master); the SPARK_GRAFT_MASTER env or the flag override it for local
+runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="clp_core_spark.job",
+        description="Resumable CLP-semantics parse->encode->route pipeline",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="path of the transcripts table (parquet)")
+    src.add_argument(
+        "--generate",
+        type=int,
+        metavar="N_TURNS",
+        help="synthesize a deterministic N-turn transcripts table instead",
+    )
+    p.add_argument("--work-root", required=True, help="ledger/dicts/sinks root")
+    p.add_argument("--num-partitions", type=int, default=16,
+                   help="checkpoint partitions (pmod(xxhash64(conv_id), N))")
+    p.add_argument("--salt-buckets", type=int, default=16,
+                   help="salt fan-out for skewed conv_id routing")
+    p.add_argument("--partitions", type=int, nargs="*", default=None,
+                   help="process only these partition ids (default: all pending)")
+    p.add_argument("--metrics-out", default=None,
+                   help="write aggregate throughput metrics JSON here")
+    p.add_argument("--master", default="",
+                   help="Spark master override (default: inherit from launcher)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from clp_core_spark.plans.pipeline import IngestPipeline
+    from clp_core_spark.session import get_spark
+    from clp_core_spark.sources import transcripts
+
+    spark = get_spark(
+        "clp-core-spark-job",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    try:
+        if args.generate is not None:
+            input_df = transcripts.generate_transcripts(spark, num_turns=args.generate)
+        else:
+            input_df = spark.read.parquet(args.input)
+
+        pipe = IngestPipeline(
+            spark,
+            args.work_root,
+            num_partitions=args.num_partitions,
+            salt_buckets=args.salt_buckets,
+        )
+        pipe.run(input_df, partitions=args.partitions)
+        blob = pipe.emit_metrics(args.metrics_out)
+        print(blob)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

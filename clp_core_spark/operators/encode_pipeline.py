@@ -46,6 +46,12 @@ PARSED_SCHEMA = StructType(
     ]
 )
 
+# Slim variant: no var_strs (the encode path never reads it; skipping it
+# cuts the per-row Arrow payload roughly in half for var-heavy text).
+PARSED_SCHEMA_SLIM = StructType(
+    [f for f in PARSED_SCHEMA.fields if f.name != "var_strs"]
+)
+
 # Above this many distinct dictionary variables, resolve IDs via shuffle
 # join instead of broadcasting the dict into the Arrow batches. The
 # broadcast path costs one driver collect + a per-Python-worker pickle
@@ -63,10 +69,18 @@ def _parse_udf(texts: pd.Series) -> pd.DataFrame:
     return tokenize_frame(texts)
 
 
-def parse(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append parsed columns (logtype, var_strs, var_types, encoded,
-    dict_strs) to ``df``."""
-    parsed = df.withColumn("_parsed", _parse_udf(F.col(text_col)))
+@pandas_udf(PARSED_SCHEMA_SLIM)
+def _parse_slim_udf(texts: pd.Series) -> pd.DataFrame:
+    from clp_core_spark.functions.tokenizer import tokenize_frame
+
+    return tokenize_frame(texts, include_var_strs=False)
+
+
+def parse(df: DataFrame, text_col: str = "text", slim: bool = False) -> DataFrame:
+    """Append parsed columns (logtype, [var_strs,] var_types, encoded,
+    dict_strs) to ``df``. ``slim=True`` omits var_strs (encode hot path)."""
+    udf = _parse_slim_udf if slim else _parse_udf
+    parsed = df.withColumn("_parsed", udf(F.col(text_col)))
     return parsed.select("*", "_parsed.*").drop("_parsed")
 
 
@@ -170,7 +184,7 @@ def encode(
       dictionaries.assign_dense_ids + broadcast/shuffle resolve — the
       faithful-storage mode; costs a resolve join at scale.
     """
-    parsed = parse(df, text_col=text_col)
+    parsed = parse(df, text_col=text_col, slim=True)
     # Parse once, feed the dict builds and the encode join.
     parsed = parsed.persist()
 

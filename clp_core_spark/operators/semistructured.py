@@ -1,0 +1,162 @@
+"""Semi-structured (clp_s-lite) ingestion: JSON records -> typed columns,
+schema IDs, and CLP-encoded string columns.
+
+Reference semantics (clp_s/, "Merged Parse Tree"):
+
+- Node types per leaf: JSON number -> Integer (integral) / Float; bool ->
+  Boolean; string containing a space -> ClpString (CLP-tokenized), else
+  VarString (whole-string dictionary); null -> NullValue; nested object
+  -> Object with child nodes (clp_s/JsonParser.cpp:195-203,
+  clp_s/SchemaTree.hpp:27-40).
+- Each distinct set of leaf nodes present in a record is a *schema*,
+  deduped to a schema ID (clp_s/SchemaMap.cpp:8-15); clp_s stores one
+  typed table per schema (clp_s/ArchiveWriter.hpp:89,113,240).
+
+Spark-first layout: one DataFrame with a nullable column per leaf path
+(Parquet/Iceberg handles sparse nullable columns natively — the per-schema
+tables of clp_s exist to avoid nulls in row-oriented C++ storage and are
+unnecessary on a columnar engine), plus a ``schema_id`` column for
+schema-set pruning (the clp_s SchemaMatch stage becomes a pushable
+``schema_id IN (...)`` predicate).
+
+Spark's own JSON schema inference (``spark.read.json`` / ``from_json``)
+replaces the record-by-record MPT merge: both discover the union of typed
+paths; Spark just does it as a distributed pre-pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+# clp_s NodeType names (clp_s/SchemaTree.hpp:27-40)
+T_INTEGER = "Integer"
+T_FLOAT = "Float"
+T_BOOLEAN = "Boolean"
+T_CLPSTRING = "ClpString"
+T_VARSTRING = "VarString"
+T_ARRAY = "UnstructuredArray"
+T_OBJECT = "Object"
+
+
+def infer_json_schema(df: DataFrame, json_col: str) -> StructType:
+    """Distributed schema inference over the JSON column — the MPT merge
+    (clp_s/JsonParser.cpp:150-218) as Spark's native JSON reader pass."""
+    sdf = df.sparkSession.read.json(
+        df.select(json_col).rdd.map(lambda r: r[0] if r[0] is not None else "{}")
+    )
+    return sdf.schema
+
+
+def _leaf_paths(schema: StructType, prefix: str = "") -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, StructType):
+            out.extend(_leaf_paths(f.dataType, prefix=f"{path}."))
+        else:
+            out.append((path, f.dataType))
+    return out
+
+
+def _node_type(spark_type, col_has_space) -> str:
+    if isinstance(spark_type, LongType):
+        return T_INTEGER
+    if isinstance(spark_type, DoubleType):
+        return T_FLOAT
+    if isinstance(spark_type, BooleanType):
+        return T_BOOLEAN
+    if isinstance(spark_type, ArrayType):
+        return T_ARRAY
+    return T_CLPSTRING if col_has_space else T_VARSTRING
+
+
+def encode_semistructured(
+    df: DataFrame,
+    json_col: str,
+    key_cols: list[str],
+    schema: StructType | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Parse ``json_col`` into typed leaf columns + a dense ``schema_id``.
+
+    Returns ``(encoded, schema_tree, schema_map)``:
+
+    - ``encoded``: key_cols + one column per leaf path (dots -> ``__``),
+      string leaves kept as strings (CLP-encode ClpString columns further
+      via encode_pipeline.encode if storage parity is wanted), plus
+      ``schema_id``.
+    - ``schema_tree``: (path, node_type, n_present) — the MPT leaves.
+      String-leaf node type follows clp_s's per-value space rule
+      (clp_s/JsonParser.cpp:195-203) promoted to the column level: a
+      column is ClpString iff any value contains a space.
+    - ``schema_map``: (schema_key, schema_id, n_records) — distinct
+      present-leaf sets, dense IDs (clp_s/SchemaMap.cpp:8-15).
+    """
+    spark = df.sparkSession
+    if schema is None:
+        schema = infer_json_schema(df, json_col)
+
+    parsed = df.withColumn("_j", F.from_json(F.col(json_col), schema))
+    leaves = _leaf_paths(schema)
+    flat_cols = []
+    for path, dtype in leaves:
+        name = path.replace(".", "__")
+        col = F.col(f"_j.{path}")
+        if isinstance(dtype, ArrayType):
+            col = F.to_json(col)  # array dict analog: arrays kept as JSON text
+        flat_cols.append(col.alias(name))
+    flat = parsed.select(*key_cols, *flat_cols)
+
+    # Column-level ClpString/VarString decision + presence counts, one pass.
+    aggs = []
+    for path, dtype in leaves:
+        name = path.replace(".", "__")
+        aggs.append(F.count(F.col(name)).alias(f"n_{name}"))
+        if isinstance(dtype, StringType):
+            aggs.append(
+                F.max(F.col(name).contains(" ")).alias(f"sp_{name}")
+            )
+    stats = flat.agg(*aggs).collect()[0]
+
+    tree_rows = []
+    for path, dtype in leaves:
+        name = path.replace(".", "__")
+        has_space = bool(stats[f"sp_{name}"]) if isinstance(dtype, StringType) else False
+        tree_rows.append((path, _node_type(dtype, has_space), int(stats[f"n_{name}"])))
+    schema_tree = spark.createDataFrame(
+        tree_rows, "path string, node_type string, n_present long"
+    )
+
+    # Schema ID: dense ID per distinct present-leaf set.
+    present = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(F.col(p.replace(".", "__")).isNotNull(), F.lit(p))
+                    for p, _ in leaves
+                ]
+            )
+        ),
+    ).alias("schema_key")
+    keyed = flat.withColumn("schema_key", present)
+
+    from clp_core_spark.operators.dictionaries import assign_dense_ids
+
+    schema_ids = assign_dense_ids(keyed, "schema_key", "schema_id")
+    schema_map = (
+        keyed.groupBy("schema_key")
+        .agg(F.count("*").alias("n_records"))
+        .join(F.broadcast(schema_ids), "schema_key")
+        .select("schema_key", "schema_id", "n_records")
+    )
+    encoded = keyed.join(F.broadcast(schema_ids), "schema_key").drop("schema_key")
+    return encoded, schema_tree, schema_map

@@ -1,0 +1,107 @@
+"""The spark-submit surface: clp_core_spark.job CLI + --py-files packaging.
+
+North-rule requirement: the pipeline "runs via spark-submit --py-files on
+multi-executor clusters". The sandbox has no cluster, so this exercises
+(a) the job module end-to-end through its argparse entry (same code path
+spark-submit drives), and (b) the packaging script producing the
+--py-files artifact with a complete importable package.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_job_cli_end_to_end(tmp_path):
+    work = str(tmp_path / "work")
+    metrics = str(tmp_path / "metrics.json")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "clp_core_spark.job",
+            "--generate", "3000",
+            "--work-root", work,
+            "--num-partitions", "4",
+            "--master", "local[4]",
+            "--shuffle-partitions", "8",
+            "--metrics-out", metrics,
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    m = json.loads(open(metrics).read())
+    assert m["partitions_done"] == 4
+    # the generator targets ~N turns (conversation lengths vary)
+    assert 0 < m["rows"] <= 3000
+    assert m["turns_per_sec"] > 0
+    # lineage ledger + dicts + all three sink families on disk
+    assert os.path.isdir(f"{work}/ledger")
+    assert os.path.isdir(f"{work}/dicts/logtype")
+    for kind in ("role", "tool", "logtype_class"):
+        assert os.path.isdir(f"{work}/sinks/by_{kind}")
+
+
+def test_job_cli_resume_skips_done_partitions(tmp_path):
+    work = str(tmp_path / "work")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    args = [
+        sys.executable, "-m", "clp_core_spark.job",
+        "--generate", "2000", "--work-root", work,
+        "--num-partitions", "4", "--master", "local[4]",
+        "--shuffle-partitions", "8",
+    ]
+    first = subprocess.run(
+        args + ["--partitions", "0", "1"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert first.returncode == 0, first.stderr[-3000:]
+    m1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert m1["partitions_done"] == 2
+
+    second = subprocess.run(
+        args, capture_output=True, text=True, env=env, timeout=600
+    )
+    assert second.returncode == 0, second.stderr[-3000:]
+    m = json.loads(second.stdout.strip().splitlines()[-1])
+    assert m["partitions_done"] == 4
+    assert m["rows"] > m1["rows"]  # remaining partitions were processed
+
+
+def test_pyfiles_zip_contains_full_package(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import package_pyfiles
+
+    out = package_pyfiles.build(str(tmp_path / "clp_core_spark.zip"))
+    names = set(zipfile.ZipFile(out).namelist())
+    expected = {
+        "clp_core_spark/__init__.py",
+        "clp_core_spark/job.py",
+        "clp_core_spark/session.py",
+        "clp_core_spark/operators/encode_pipeline.py",
+        "clp_core_spark/operators/search.py",
+        "clp_core_spark/functions/tokenizer.py",
+        "clp_core_spark/plans/pipeline.py",
+    }
+    assert expected <= names, expected - names
+    # the zip alone must be importable (what --py-files ships)
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import clp_core_spark.job as j; "
+        "p = j.build_arg_parser(); "
+        "a = p.parse_args(['--generate','10','--work-root','/tmp/x']); "
+        "print(a.num_partitions)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code, out],
+        capture_output=True, text=True, timeout=60,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.strip() == "16"
+    shutil.rmtree(str(tmp_path / "work"), ignore_errors=True)
