@@ -409,6 +409,16 @@ def _q_search_time_range(spark, sf_dir):
     ).select("event_id")
 
 
+def _q_search_count_by_time(spark, sf_dir):
+    """clo's aggregating search (`--count-by-time N`): dictionary search
+    feeds the bucketed count reducer (clp/clo/OutputHandler.hpp:255-286,
+    reducer/CountOperator.cpp) — here one plan: encoded-predicate filter
+    -> partial/final hash agg on the hour bucket."""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    hits = search.search_text(enc, lt, vd, "*user=13 *", keys, select_cols=["ts"])
+    return aggregate.count_by_time(hits, bucket_ms=3_600_000)
+
+
 def _q_distinct_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -453,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_turn_gap": _q_window_gap,
         "clp_search_time_range": _q_search_time_range,
         "agg_distinct_users": _q_distinct_users,
+        "clp_search_count_by_time": _q_search_count_by_time,
     }
 
 
@@ -611,6 +622,12 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type"
+        ),
+        "clp_search_count_by_time": (
+            "SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ts,"
+            " count(*) AS count FROM"
+            f" (SELECT ts, {_EVENT_TEXT_SQL} AS t FROM events)"
+            " WHERE t LIKE '%user=13 %' GROUP BY 1 ORDER BY 1"
         ),
     }
 

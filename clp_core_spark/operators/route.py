@@ -73,6 +73,27 @@ def route(
     return paths
 
 
+def write_glt_layout(
+    encoded: DataFrame,
+    path: str,
+    partitions: int = 32,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> None:
+    """GLT's logtype-grouped storage (glt/streaming_archive/writer/
+    LogtypeTable.hpp:13-80): range-partition + sort rows by logtype_id so
+    every parquet file covers a narrow logtype-ID range. A search's
+    ``logtype_id IN (...)`` predicate then skips whole files via min/max
+    stats — the Spark-native form of CLP's dictionary segment index
+    (logtype.segindex, clp/streaming_archive/Constants.hpp:7-15;
+    pruning clp/Query.cpp:123-138)."""
+    (
+        encoded.repartitionByRange(partitions, F.col("logtype_id"))
+        .sortWithinPartitions("logtype_id", *order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def sink_counts(encoded: DataFrame) -> DataFrame:
     """Per-sink aggregate counts (the BASELINE equality gate):
     one row per (sink_kind, sink_key)."""

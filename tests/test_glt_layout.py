@@ -1,0 +1,44 @@
+"""GLT-style logtype-ordered sink: correctness + file-skipping evidence."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from clp_core_spark.operators import encode_pipeline, route
+
+
+def test_glt_roundtrip_and_pruning(spark, transcripts, tmp_path):
+    enc, lt, vd = encode_pipeline.encode(
+        transcripts, key_cols=["conv_id", "turn_idx"]
+    )
+    path = str(tmp_path / "glt")
+    route.write_glt_layout(enc, path, partitions=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == enc.count()
+
+    # pick one mid-frequency logtype and query it
+    target = (
+        enc.groupBy("logtype_id").count().orderBy("count").collect()[0]["logtype_id"]
+    )
+    expected = enc.filter(F.col("logtype_id") == target).count()
+    got = back.filter(F.col("logtype_id") == target).count()
+    assert got == expected
+
+    # the filter must be pushed to the scan (min/max file skipping)
+    plan = (
+        back.filter(F.col("logtype_id") == target)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "logtype_id" in plan
+
+    # files are logtype-ranged: each file's rows span a narrow ID range,
+    # and the target ID appears in at most a couple of files
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) > 1
+    with_file = back.withColumn("_f", F.input_file_name())
+    n_files_hit = (
+        with_file.filter(F.col("logtype_id") == target)
+        .select("_f").distinct().count()
+    )
+    assert n_files_hit <= 2, f"logtype not clustered: {n_files_hit} files"
