@@ -409,6 +409,35 @@ def _q_search_time_range(spark, sf_dir):
     ).select("event_id")
 
 
+def _q_schema_roundtrip(spark, sf_dir):
+    """User-schema parse path (schema-file semantics, FileCompressor.cpp:
+    196-228): tokenize by declared delimiters + ordered regex rules, then
+    decode back to byte-identical text."""
+    from clp_core_spark.functions.schema_tokenizer import SchemaSpec
+
+    spec = SchemaSpec(
+        delimiters=' ={}":,',
+        rules=[("int", r"-{0,1}[0-9]+"), ("vid", r"v[0-9]+")],
+    )
+    ev = _event_lines(spark, sf_dir)
+    enc, lt, vd = encode_pipeline.encode(
+        ev, key_cols=["event_id"], schema_spec=spec
+    )
+    dec = encode_pipeline.decode(enc, lt, vd, ["event_id"])
+    return dec.select("event_id", F.col("decoded_text").alias("text"))
+
+
+def _q_search_two_vars(spark, sf_dir):
+    """Two query variables (int 13, dict-wildcard v1*) must appear as an
+    ordered non-contiguous subsequence of the row's encoded vars
+    (clp/Query.cpp:150-173) — exercises the multi-var subsequence
+    automaton, not just single-ID membership."""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_text(
+        enc, lt, vd, "*user=13 props=* v1*", keys
+    ).select("event_id")
+
+
 def _q_search_count_by_time(spark, sf_dir):
     """clo's aggregating search (`--count-by-time N`): dictionary search
     feeds the bucketed count reducer (clp/clo/OutputHandler.hpp:255-286,
@@ -464,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_time_range": _q_search_time_range,
         "agg_distinct_users": _q_distinct_users,
         "clp_search_count_by_time": _q_search_count_by_time,
+        "clp_search_two_vars": _q_search_two_vars,
+        "clp_schema_roundtrip": _q_schema_roundtrip,
     }
 
 
@@ -628,6 +659,13 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS count FROM"
             f" (SELECT ts, {_EVENT_TEXT_SQL} AS t FROM events)"
             " WHERE t LIKE '%user=13 %' GROUP BY 1 ORDER BY 1"
+        ),
+        "clp_search_two_vars": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%user=13 props=% v1%'"
+        ),
+        "clp_schema_roundtrip": (
+            f"SELECT event_id, {_EVENT_TEXT_SQL} AS text FROM events"
         ),
     }
 

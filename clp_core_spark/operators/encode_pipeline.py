@@ -76,10 +76,34 @@ def _parse_slim_udf(texts: pd.Series) -> pd.DataFrame:
     return tokenize_frame(texts, include_var_strs=False)
 
 
-def parse(df: DataFrame, text_col: str = "text", slim: bool = False) -> DataFrame:
+def parse(
+    df: DataFrame,
+    text_col: str = "text",
+    slim: bool = False,
+    schema_spec=None,
+) -> DataFrame:
     """Append parsed columns (logtype, [var_strs,] var_types, encoded,
-    dict_strs) to ``df``. ``slim=True`` omits var_strs (encode hot path)."""
-    udf = _parse_slim_udf if slim else _parse_udf
+    dict_strs) to ``df``. ``slim=True`` omits var_strs (encode hot path).
+
+    ``schema_spec`` (a functions.schema_tokenizer.SchemaSpec) switches to
+    the user-schema tokenizer — CLP's schema-file / log-surgeon alternative
+    parse path (clp/clp/FileCompressor.cpp:196-228), same output shape."""
+    if schema_spec is not None:
+        out_schema = PARSED_SCHEMA_SLIM if slim else PARSED_SCHEMA
+
+        @pandas_udf(out_schema)
+        def _schema_udf(texts: pd.Series) -> pd.DataFrame:
+            from clp_core_spark.functions.schema_tokenizer import (
+                tokenize_frame_schema,
+            )
+
+            return tokenize_frame_schema(
+                texts, schema_spec, include_var_strs=not slim
+            )
+
+        udf = _schema_udf
+    else:
+        udf = _parse_slim_udf if slim else _parse_udf
     parsed = df.withColumn("_parsed", udf(F.col(text_col)))
     return parsed.select("*", "_parsed.*").drop("_parsed")
 
@@ -166,6 +190,7 @@ def encode(
     existing_var_dict: DataFrame | None = None,
     keep_text: bool = False,
     var_id_mode: str = "hash",
+    schema_spec=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full parse->encode. Returns (encoded_df, logtype_dict, var_dict).
 
@@ -184,7 +209,7 @@ def encode(
       dictionaries.assign_dense_ids + broadcast/shuffle resolve — the
       faithful-storage mode; costs a resolve join at scale.
     """
-    parsed = parse(df, text_col=text_col, slim=True)
+    parsed = parse(df, text_col=text_col, slim=True, schema_spec=schema_spec)
     # Parse once, feed the dict builds and the encode join.
     parsed = parsed.persist()
 
