@@ -81,7 +81,9 @@ def run_pipeline(spark, input_path: str, sinks_root: str) -> dict:
     t0 = time.time()
     df = spark.read.parquet(input_path)
     encoded, lt_dict, var_dict = encode_pipeline.encode(
-        df, key_cols=["conv_id", "turn_idx"]
+        df,
+        key_cols=["conv_id", "turn_idx"],
+        var_id_mode=os.environ.get("SPARK_GRAFT_VAR_ID_MODE", "hash"),
     )
     enriched = enrich.enrich(
         encoded, transcripts.role_dim(spark), transcripts.tool_dim(spark)
