@@ -409,6 +409,14 @@ def _q_search_time_range(spark, sf_dir):
     ).select("event_id")
 
 
+def _q_search_qmark(spark, sf_dir):
+    """'?' wildcard: subquery generation treats it as '*' and the decoded
+    residue is re-verified against the original '?' pattern
+    (Grep.cpp:521-530, 935-951)."""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_text(enc, lt, vd, "*user=1? *", keys).select("event_id")
+
+
 def _q_schema_roundtrip(spark, sf_dir):
     """User-schema parse path (schema-file semantics, FileCompressor.cpp:
     196-228): tokenize by declared delimiters + ordered regex rules, then
@@ -495,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_count_by_time": _q_search_count_by_time,
         "clp_search_two_vars": _q_search_two_vars,
         "clp_schema_roundtrip": _q_schema_roundtrip,
+        "clp_search_qmark": _q_search_qmark,
     }
 
 
@@ -666,6 +675,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clp_schema_roundtrip": (
             f"SELECT event_id, {_EVENT_TEXT_SQL} AS text FROM events"
+        ),
+        "clp_search_qmark": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%user=1_ %'"
         ),
     }
 
