@@ -386,6 +386,19 @@ def _q_kql_wildcard(spark, sf_dir):
     ).select("event_id")
 
 
+def _q_kql_date_range(spark, sf_dir):
+    """KQL date literals + range ops (clp_s/search/kql/Kql.g4 ranges,
+    Literal date type)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return kql.kql_filter(
+        ev,
+        'ts >= date("2024-01-10") AND ts < date("2024-01-17")'
+        " AND event_type: error",
+    ).select("event_id")
+
+
 def _q_window_gap(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -497,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clps_typed_search": _q_clps_typed_search,
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
+        "kql_date_range": _q_kql_date_range,
         "window_turn_gap": _q_window_gap,
         "clp_search_time_range": _q_search_time_range,
         "agg_distinct_users": _q_distinct_users,
@@ -647,6 +661,11 @@ def oracle_sql() -> dict[str, str]:
         "kql_wildcard_or": (
             "SELECT event_id FROM events"
             " WHERE props LIKE '%87%' OR event_type LIKE 'sig%'"
+        ),
+        "kql_date_range": (
+            "SELECT event_id FROM events"
+            " WHERE ts >= TIMESTAMP '2024-01-10'"
+            " AND ts < TIMESTAMP '2024-01-17' AND event_type = 'error'"
         ),
         "window_turn_gap": (
             "SELECT event_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER"
