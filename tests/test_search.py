@@ -55,6 +55,20 @@ GOLDEN_QUERIES = [
     "*",                              # SupercedesAll
     "???",                            # '?'-only: subqueries collapse to '*' but verify keeps '???'
     "?" * 50,                         # longer than short texts => must exclude them
+    # tokenization-boundary zoo (style of tests/test_search_queries/easy.txt)
+    "12.12",                          # bare float token
+    "-12.5",                          # negative float
+    "+42",                            # '+'-prefixed: not int-encodable => dict
+    "21cba4321",                      # digit-alpha-digit var
+    "asd123asd",                      # alpha-digit-alpha var
+    "asd=",                           # trailing '=' (empty var position)
+    "123,21:21:21",                   # punctuation-separated int vars
+    "0x3f",                           # 0x hex literal
+    "deadbeef",                       # bare multi-hex var, no wildcard
+    "level=INFO",                     # '='-preceded pure-alpha var
+    "*=alpha*",                       # wildcard around '='-rule boundary
+    "007*",                           # zero-padded prefix (dict, not int)
+    "*-9 *",                          # wildcard adjoining negative-looking token
 ]
 
 
