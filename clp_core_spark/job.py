@@ -57,6 +57,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="process only these partition ids (default: all pending)")
     p.add_argument("--metrics-out", default=None,
                    help="write aggregate throughput metrics JSON here")
+    p.add_argument("--var-id-mode", choices=["hash", "dense"], default="hash",
+                   help="dense = archival dictionary IDs (better at-rest"
+                        " ratio); hash = shuffle-free routing fast path")
+    p.add_argument("--write-glt", action="store_true",
+                   help="also write a logtype-clustered archival copy")
     p.add_argument("--master", default="",
                    help="Spark master override (default: inherit from launcher)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -86,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
             args.work_root,
             num_partitions=args.num_partitions,
             salt_buckets=args.salt_buckets,
+            var_id_mode=args.var_id_mode,
+            write_glt=args.write_glt,
         )
         pipe.run(input_df, partitions=args.partitions)
         blob = pipe.emit_metrics(args.metrics_out)

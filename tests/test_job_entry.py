@@ -105,3 +105,38 @@ def test_pyfiles_zip_contains_full_package(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert proc.stdout.strip() == "16"
     shutil.rmtree(str(tmp_path / "work"), ignore_errors=True)
+
+
+def test_job_cli_archival_mode(tmp_path):
+    """--var-id-mode dense --write-glt: archival configuration produces
+    the GLT copy and dense (small-int) dictionary IDs."""
+    work = str(tmp_path / "work")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "clp_core_spark.job",
+            "--generate", "2000", "--work-root", work,
+            "--num-partitions", "2", "--master", "local[4]",
+            "--shuffle-partitions", "8",
+            "--var-id-mode", "dense", "--write-glt",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert os.path.isdir(f"{work}/glt/epoch_part=0")
+    assert os.path.isdir(f"{work}/glt/epoch_part=1")
+    # dense IDs are 0..n-1, not 64-bit hashes
+    import duckdb
+
+    mx, n = duckdb.sql(
+        f"SELECT max(var_id), count(*) FROM '{work}/dicts/var/*.parquet'"
+    ).fetchall()[0]
+    assert mx == n - 1
+    # GLT copy holds every routed row exactly once per epoch partition
+    glt_n = duckdb.sql(
+        f"SELECT count(*) FROM '{work}/glt/*/*.parquet'"
+    ).fetchall()[0][0]
+    ledger_rows = duckdb.sql(
+        f"SELECT sum(n_rows) FROM '{work}/ledger/*.parquet'"
+    ).fetchall()[0][0]
+    assert glt_n == ledger_rows
