@@ -140,8 +140,20 @@ def _encoded(spark: SparkSession, sf_dir: str, corpus: str):
         enc, lt_dict, var_dict = encode_pipeline.encode(
             df, key_cols=keys, keep_text=False
         )
-        _CACHE[key] = (enc.persist(), lt_dict, var_dict, keys)
+        _CACHE[key] = (enc.persist(), lt_dict, var_dict.persist(), keys)
     return _CACHE[key]
+
+
+# var-dict sizes, counted once per corpus and threaded into decode/search so
+# repeated queries skip decode's strategy-selection count job.
+_VDC: dict = {}
+
+
+def _vdc(spark: SparkSession, sf_dir: str, corpus: str) -> int:
+    key = (id(spark), sf_dir, corpus)
+    if key not in _VDC:
+        _VDC[key] = _encoded(spark, sf_dir, corpus)[2].count()
+    return _VDC[key]
 
 
 # ---------------------------------------------------------------------------
@@ -150,39 +162,58 @@ def _encoded(spark: SparkSession, sf_dir: str, corpus: str):
 
 def _q_roundtrip_docs(spark, sf_dir):
     enc, lt, vd, keys = _encoded(spark, sf_dir, "documents")
-    dec = encode_pipeline.decode(enc, lt, vd, keys)
+    dec = encode_pipeline.decode(
+        enc, lt, vd, keys, var_dict_count=_vdc(spark, sf_dir, "documents")
+    )
     return dec.select("doc_id", F.col("decoded_text").alias("text"))
 
 
 def _q_roundtrip_events(spark, sf_dir):
     enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    dec = encode_pipeline.decode(enc, lt, vd, keys)
+    dec = encode_pipeline.decode(
+        enc, lt, vd, keys, var_dict_count=_vdc(spark, sf_dir, "events")
+    )
     return dec.select("event_id", F.col("decoded_text").alias("text"))
 
 
+def _search(spark, sf_dir, corpus, query, **kw):
+    enc, lt, vd, keys = _encoded(spark, sf_dir, corpus)
+    return search.search_text(
+        enc, lt, vd, query, keys,
+        var_dict_count=_vdc(spark, sf_dir, corpus), **kw,
+    )
+
+
 def _q_search_token(spark, sf_dir):
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "documents")
-    return search.search_text(enc, lt, vd, "*merge*", keys).select("doc_id")
+    return _search(spark, sf_dir, "documents", "*merge*").select("doc_id")
 
 
 def _q_search_int(spark, sf_dir):
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    return search.search_text(enc, lt, vd, "*user=13 *", keys).select("event_id")
+    return _search(spark, sf_dir, "events", "*user=13 *").select("event_id")
 
 
 def _q_search_midstar(spark, sf_dir):
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    return search.search_text(enc, lt, vd, "*sig*up*", keys).select("event_id")
+    return _search(spark, sf_dir, "events", "*sig*up*").select("event_id")
 
 
 def _q_search_dictvar(spark, sf_dir):
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    return search.search_text(enc, lt, vd, "*v1234*", keys).select("event_id")
+    return _search(spark, sf_dir, "events", "*v1234*").select("event_id")
+
+
+def _q_search_broad_dictvar(spark, sf_dir):
+    """Broad dict-var wildcard: '*v1*' hits >10^3 var-dict entries at
+    sf>=0.01, so the probe result stays a DataFrame and reaches the encoded
+    scan as a broadcast semi-join (operators/search.py ISIN_MAX_IDS) — no
+    driver-side ID collect, no megabyte isin literal. Same dictionary-first
+    semantics as clp/Grep.cpp:460-496 at cluster scale."""
+    return _search(spark, sf_dir, "events", "*v1*").select("event_id")
 
 
 def _q_roundtrip_floats(spark, sf_dir):
     enc, lt, vd, keys = _encoded(spark, sf_dir, "floats")
-    dec = encode_pipeline.decode(enc, lt, vd, keys)
+    dec = encode_pipeline.decode(
+        enc, lt, vd, keys, var_dict_count=_vdc(spark, sf_dir, "floats")
+    )
     return dec.select("event_id", F.col("decoded_text").alias("text"))
 
 
@@ -192,14 +223,12 @@ def _q_search_float(spark, sf_dir):
     column. (A wildcarded float like '9.*' is NOT float-convertible —
     decimal at position 0 — so CLP, and this engine, route it to an
     empty dict probe: search-without-decompression semantics, not LIKE.)"""
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "floats")
-    return search.search_text(enc, lt, vd, "*q=3.5*", keys).select("event_id")
+    return _search(spark, sf_dir, "floats", "*q=3.5*").select("event_id")
 
 
 def _q_search_ignorecase(spark, sf_dir):
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    return search.search_text(
-        enc, lt, vd, "*ERROR*", keys, ignore_case=True
+    return _search(
+        spark, sf_dir, "events", "*ERROR*", ignore_case=True
     ).select("event_id")
 
 
@@ -415,10 +444,9 @@ def _q_search_time_range(spark, sf_dir):
     """Dictionary search constrained to a ts range — CLP's time-range
     file/segment skip (clp/Query.cpp:123-138, clo.cpp:520-526) becomes a
     partition-prunable predicate ANDed before the logtype probe."""
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
     lo, hi = 1704844800000, 1705449600000  # 2024-01-10 .. 2024-01-17 UTC
-    return search.search_text(
-        enc, lt, vd, "*user=13 *", keys, ts_begin_ms=lo, ts_end_ms=hi
+    return _search(
+        spark, sf_dir, "events", "*user=13 *", ts_begin_ms=lo, ts_end_ms=hi
     ).select("event_id")
 
 
@@ -426,8 +454,7 @@ def _q_search_qmark(spark, sf_dir):
     """'?' wildcard: subquery generation treats it as '*' and the decoded
     residue is re-verified against the original '?' pattern
     (Grep.cpp:521-530, 935-951)."""
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    return search.search_text(enc, lt, vd, "*user=1? *", keys).select("event_id")
+    return _search(spark, sf_dir, "events", "*user=1? *").select("event_id")
 
 
 def _q_schema_roundtrip(spark, sf_dir):
@@ -453,9 +480,8 @@ def _q_search_two_vars(spark, sf_dir):
     ordered non-contiguous subsequence of the row's encoded vars
     (clp/Query.cpp:150-173) — exercises the multi-var subsequence
     automaton, not just single-ID membership."""
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    return search.search_text(
-        enc, lt, vd, "*user=13 props=* v1*", keys
+    return _search(
+        spark, sf_dir, "events", "*user=13 props=* v1*"
     ).select("event_id")
 
 
@@ -464,8 +490,7 @@ def _q_search_count_by_time(spark, sf_dir):
     feeds the bucketed count reducer (clp/clo/OutputHandler.hpp:255-286,
     reducer/CountOperator.cpp) — here one plan: encoded-predicate filter
     -> partial/final hash agg on the hour bucket."""
-    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
-    hits = search.search_text(enc, lt, vd, "*user=13 *", keys, select_cols=["ts"])
+    hits = _search(spark, sf_dir, "events", "*user=13 *", select_cols=["ts"])
     return aggregate.count_by_time(hits, bucket_ms=3_600_000)
 
 
@@ -484,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_int": _q_search_int,
         "clp_search_midstar": _q_search_midstar,
         "clp_search_dictvar": _q_search_dictvar,
+        "clp_search_broad_dictvar": _q_search_broad_dictvar,
         "clp_roundtrip_floats": _q_roundtrip_floats,
         "clp_search_float": _q_search_float,
         "clp_search_ignorecase": _q_search_ignorecase,
@@ -548,6 +574,13 @@ def oracle_sql() -> dict[str, str]:
         "clp_search_dictvar": (
             f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
             " FROM events) WHERE t LIKE '%v1234%'"
+        ),
+        # 'v1' can only occur inside a single token (both are token chars and
+        # tokens are maximal runs), and any token containing it has a digit +
+        # letter => dict var; so CLP's dict-probe + verify equals LIKE here.
+        "clp_search_broad_dictvar": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%v1%'"
         ),
         "clp_roundtrip_floats": (
             f"SELECT event_id, {_FLOAT_TEXT_SQL} AS text FROM events"

@@ -252,10 +252,12 @@ def decode(
     key_cols: list[str],
     out_col: str = "decoded_text",
     broadcast_threshold: int = BROADCAST_VAR_DICT_MAX,
+    var_dict_count: int | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode` — reconstruct the original message
     (clp/EncodedVariableInterpreter.cpp:298-367). Used by the roundtrip
-    equality gate and the decompress-to-text sink."""
+    equality gate and the decompress-to-text sink. Pass ``var_dict_count``
+    when known to skip the strategy-selection count job."""
     df = encoded.join(F.broadcast(logtype_dict), "logtype_id")
 
     # Resolve dict-var IDs back to strings, in order of appearance.
@@ -264,7 +266,7 @@ def decode(
     )
     df = df.withColumn("_dict_ids", F.transform(pairs, lambda s: s["encoded_vars"]))
 
-    var_count = var_dict.count()
+    var_count = var_dict.count() if var_dict_count is None else var_dict_count
     if var_count <= broadcast_threshold:
         spark = encoded.sparkSession
         mapping = {r["var_id"]: r["var_str"] for r in var_dict.collect()}

@@ -220,19 +220,49 @@ class QueryToken:
         return False
 
 
+# Above this many dictionary hits, a probe result stays a DataFrame and is
+# consumed via broadcast semi-join instead of an inlined `isin` literal —
+# a broad wildcard over a 10^6-entry dict must never serialize its ID set
+# into the plan (or the driver). Mirrors CLP's dictionary-first evaluation
+# (Grep.cpp:460-496) without the single-node assumption.
+ISIN_MAX_IDS = 1000
+
+
+@dataclass
+class ProbeResult:
+    """Outcome of one dictionary probe: either a small literal ID set
+    (``ids``) or a lazy DataFrame of IDs (``df``) for semi-join use."""
+
+    ids: list[int] | None
+    df: DataFrame | None
+
+    @property
+    def empty(self) -> bool:
+        return self.ids is not None and not self.ids
+
+
 @dataclass
 class QueryVarPlan:
-    """QueryVar (clp/Query.cpp:29-66): precise encoded value or a set."""
+    """QueryVar (clp/Query.cpp:29-66): precise encoded value or a set.
+    Exactly one of ``values`` / ``values_df`` is set; ``values_df`` holds a
+    single ``var_id`` column for large wildcard hit sets."""
 
-    values: list[int]
+    values: list[int] | None
     is_dict: bool
+    values_df: DataFrame | None = None
 
 
 @dataclass
 class SubQueryPlan:
-    logtype_ids: list[int]
+    logtype_ids: list[int] | None
     vars: list[QueryVarPlan] = field(default_factory=list)
     wildcard_match_required: bool = False
+    logtype_df: DataFrame | None = None
+
+    def is_literal(self) -> bool:
+        return self.logtype_df is None and all(
+            v.values_df is None for v in self.vars
+        )
 
 
 @dataclass
@@ -263,17 +293,25 @@ def _append_query_constant(constant: str, out: list[str]) -> None:
 
 class DictProbes:
     """Wildcard/exact probes against the two dictionaries, with memoization
-    (one Spark filter+collect per distinct probe — dictionary-first
-    evaluation, Grep.cpp:460-496)."""
+    (one bounded Spark job per distinct probe — dictionary-first evaluation,
+    Grep.cpp:460-496).
 
-    def __init__(self, logtype_dict: DataFrame, var_dict: DataFrame, ignore_case: bool):
+    A probe collects at most ``max_literal_ids + 1`` rows to the driver:
+    small hit sets become literal ``isin`` predicates (the exact encoded
+    automaton), anything larger stays a lazy DataFrame that execution
+    consumes via broadcast semi-join — driver memory and plan size stay
+    O(cutoff) regardless of dictionary size."""
+
+    def __init__(self, logtype_dict: DataFrame, var_dict: DataFrame,
+                 ignore_case: bool, max_literal_ids: int = ISIN_MAX_IDS):
         self.logtype_dict = logtype_dict
         self.var_dict = var_dict
         self.ignore_case = ignore_case
+        self.max_literal_ids = max_literal_ids
         self._cache: dict = {}
 
     def _probe(self, df: DataFrame, value_col: str, id_col: str, pattern: str,
-               exact: bool) -> list[int]:
+               exact: bool) -> ProbeResult:
         key = (id_col, pattern, exact)
         if key in self._cache:
             return self._cache[key]
@@ -286,17 +324,22 @@ class DictProbes:
             cond = col == F.lit(pat)
         else:
             cond = col.rlike(wildcard_to_regex(pat))
-        ids = [r[id_col] for r in df.filter(cond).select(id_col).collect()]
-        self._cache[key] = ids
-        return ids
+        hits = df.filter(cond).select(id_col)
+        head = hits.limit(self.max_literal_ids + 1).collect()
+        if len(head) <= self.max_literal_ids:
+            res = ProbeResult(ids=[int(r[id_col]) for r in head], df=None)
+        else:
+            res = ProbeResult(ids=None, df=hits)
+        self._cache[key] = res
+        return res
 
-    def logtypes(self, pattern: str) -> list[int]:
+    def logtypes(self, pattern: str) -> ProbeResult:
         return self._probe(self.logtype_dict, "logtype", "logtype_id", pattern, exact=False)
 
-    def var_exact(self, value: str) -> list[int]:
+    def var_exact(self, value: str) -> ProbeResult:
         return self._probe(self.var_dict, "var_str", "var_id", value, exact=True)
 
-    def var_wildcard(self, pattern: str) -> list[int]:
+    def var_wildcard(self, pattern: str) -> ProbeResult:
         return self._probe(self.var_dict, "var_str", "var_id", pattern, exact=False)
 
 
@@ -320,11 +363,11 @@ def _process_var_token(tok: QueryToken, probes: DictProbes, sub: SubQueryPlan,
             lt.append(PLACEHOLDER_FLOAT)
             sub.vars.append(QueryVarPlan([int(v[0])], is_dict=False))
             return True
-        ids = probes.var_exact(tok.value)
-        if not ids:
+        res = probes.var_exact(tok.value)
+        if res.empty:
             return False
         lt.append(PLACEHOLDER_DICT)
-        sub.vars.append(QueryVarPlan([int(i) for i in ids], is_dict=True))
+        sub.vars.append(QueryVarPlan(res.ids, is_dict=True, values_df=res.df))
         return True
 
     if tok.has_prefix_star:
@@ -336,10 +379,10 @@ def _process_var_token(tok: QueryToken, probes: DictProbes, sub: SubQueryPlan,
     else:
         lt.append(PLACEHOLDER_DICT)
         if tok.cannot_convert_to_non_dict_var:
-            ids = probes.var_wildcard(tok.value)
-            if not ids:
+            res = probes.var_wildcard(tok.value)
+            if res.empty:
                 return False
-            sub.vars.append(QueryVarPlan([int(i) for i in ids], is_dict=True))
+            sub.vars.append(QueryVarPlan(res.ids, is_dict=True, values_df=res.df))
     if tok.has_suffix_star:
         lt.append("*")
     return True
@@ -350,6 +393,7 @@ def compile_query(
     logtype_dict: DataFrame,
     var_dict: DataFrame,
     ignore_case: bool = False,
+    max_literal_ids: int = ISIN_MAX_IDS,
 ) -> CompiledQuery:
     """Grep::process_raw_query (Grep.cpp:499-628)."""
     processed = clean_up_wildcard_search_string("*" + search_string + "*")
@@ -369,7 +413,7 @@ def compile_query(
     ambiguous = [t for t in tokens if not t.has_mid_star and t.is_ambiguous()]
 
     out = CompiledQuery(search_string=processed, ignore_case=ignore_case)
-    probes = DictProbes(logtype_dict, var_dict, ignore_case)
+    probes = DictProbes(logtype_dict, var_dict, ignore_case, max_literal_ids)
 
     changed = True
     while changed:
@@ -404,9 +448,10 @@ def compile_query(
                 out.matches_all = True
                 out.sub_queries = []
                 return out
-            ids = probes.logtypes(pattern)
-            if ids:
-                sub.logtype_ids = [int(i) for i in ids]
+            res = probes.logtypes(pattern)
+            if not res.empty:
+                sub.logtype_ids = res.ids
+                sub.logtype_df = res.df
                 out.sub_queries.append(sub)
 
         changed = False
@@ -447,6 +492,38 @@ def _subquery_predicate(sub: SubQueryPlan) -> Column:
     return pred & _subseq_predicate(sub.vars)
 
 
+def _join_sub_candidates(df: DataFrame, sub: SubQueryPlan,
+                         key_cols: list[str]) -> DataFrame:
+    """Candidate rows for a subquery whose probe hit sets were too large to
+    inline. Logtype membership is an exact broadcast semi-join on
+    ``logtype_id``. Large var sets relax the ordered-subsequence automaton
+    to per-set membership (explode -> broadcast semi-join on the var ID ->
+    semi-join back on the row key) — recall-preserving, and any subquery
+    with vars is wildcard-verify-required (Grep.cpp:935-951), so the decode
+    verify restores exactness. Literal vars still run the exact automaton."""
+    cand = df
+    if sub.logtype_df is not None:
+        cand = cand.join(F.broadcast(sub.logtype_df), "logtype_id", "leftsemi")
+    else:
+        cand = cand.filter(F.col("logtype_id").isin(sub.logtype_ids))
+
+    literal_vars = [v for v in sub.vars if v.values_df is None]
+    if literal_vars:
+        cand = cand.filter(_subseq_predicate(literal_vars))
+
+    for v in sub.vars:
+        if v.values_df is None:
+            continue
+        ids = v.values_df.select(F.col("var_id").alias("_ev"))
+        hit_keys = (
+            cand.select(*key_cols, F.explode("encoded_vars").alias("_ev"))
+            .join(F.broadcast(ids), "_ev", "leftsemi")
+            .select(*key_cols)
+        )
+        cand = cand.join(hit_keys, key_cols, "leftsemi")
+    return cand
+
+
 def search(
     encoded: DataFrame,
     logtype_dict: DataFrame,
@@ -456,9 +533,11 @@ def search(
     ts_begin_ms: int | None = None,
     ts_end_ms: int | None = None,
     select_cols: list[str] | None = None,
+    var_dict_count: int | None = None,
 ) -> DataFrame:
     """Execute a compiled query over the encoded table. Returns matching
-    rows (key_cols + select_cols)."""
+    rows (key_cols + select_cols). ``var_dict_count``, when known, skips
+    decode's dict-size strategy count job."""
     select_cols = select_cols or []
     out_cols = key_cols + select_cols
     df = encoded
@@ -480,7 +559,9 @@ def search(
             return df.select(*out_cols)
         from clp_core_spark.operators import encode_pipeline
 
-        decoded = encode_pipeline.decode(df, logtype_dict, var_dict, key_cols)
+        decoded = encode_pipeline.decode(
+            df, logtype_dict, var_dict, key_cols, var_dict_count=var_dict_count
+        )
         pat = compiled.search_string
         col = F.col("decoded_text")
         if compiled.ignore_case:
@@ -489,29 +570,49 @@ def search(
     if compiled.wont_match:
         return df.select(*out_cols).limit(0)
 
-    no_verify = [s for s in compiled.sub_queries if not s.wildcard_match_required]
-    need_verify = [s for s in compiled.sub_queries if s.wildcard_match_required]
+    lit_direct = [s for s in compiled.sub_queries
+                  if not s.wildcard_match_required and s.is_literal()]
+    join_direct = [s for s in compiled.sub_queries
+                   if not s.wildcard_match_required and not s.is_literal()]
+    lit_verify = [s for s in compiled.sub_queries
+                  if s.wildcard_match_required and s.is_literal()]
+    join_verify = [s for s in compiled.sub_queries
+                   if s.wildcard_match_required and not s.is_literal()]
+    has_join_subs = bool(join_direct or join_verify)
 
     results = []
     pred_direct = None
-    if no_verify:
+    if lit_direct:
         pred_direct = F.lit(False)
-        for s in no_verify:
+        for s in lit_direct:
             pred_direct = pred_direct | _subquery_predicate(s)
         results.append(df.filter(pred_direct).select(*out_cols))
+    for s in join_direct:
+        results.append(_join_sub_candidates(df, s, key_cols).select(*out_cols))
 
-    if need_verify:
+    candidates = None
+    if lit_verify:
         pred_v = F.lit(False)
-        for s in need_verify:
+        for s in lit_verify:
             pred_v = pred_v | _subquery_predicate(s)
         if pred_direct is not None:
             pred_v = pred_v & ~pred_direct
         candidates = df.filter(pred_v)
+    for s in join_verify:
+        c = _join_sub_candidates(df, s, key_cols)
+        candidates = c if candidates is None else candidates.unionByName(c)
+
+    if candidates is not None:
+        if lit_verify and join_verify or len(join_verify) > 1:
+            candidates = candidates.dropDuplicates(key_cols)
         # Residual verify (Grep.cpp:935-951): decode the (small) residue
         # and wildcard-match against the processed query string.
         from clp_core_spark.operators import encode_pipeline
 
-        decoded = encode_pipeline.decode(candidates, logtype_dict, var_dict, key_cols)
+        decoded = encode_pipeline.decode(
+            candidates, logtype_dict, var_dict, key_cols,
+            var_dict_count=var_dict_count,
+        )
         pat = compiled.search_string
         col = F.col("decoded_text")
         if compiled.ignore_case:
@@ -522,6 +623,9 @@ def search(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if has_join_subs and len(results) > 1:
+        # join-path branches are not predicate-disjoint from the others
+        out = out.dropDuplicates(key_cols)
     return out
 
 
@@ -532,8 +636,12 @@ def search_text(
     query: str,
     key_cols: list[str],
     ignore_case: bool = False,
+    max_literal_ids: int = ISIN_MAX_IDS,
     **kw,
 ) -> DataFrame:
     """Compile + execute in one call."""
-    compiled = compile_query(query, logtype_dict, var_dict, ignore_case=ignore_case)
+    compiled = compile_query(
+        query, logtype_dict, var_dict, ignore_case=ignore_case,
+        max_literal_ids=max_literal_ids,
+    )
     return search(encoded, logtype_dict, var_dict, compiled, key_cols, **kw)

@@ -82,6 +82,39 @@ def test_search_matches_naive_scan(corpus, query):
     )
 
 
+# Queries re-run with max_literal_ids=0: every non-empty dictionary probe
+# becomes a DataFrame consumed via broadcast semi-join (the 100 TB path for
+# broad wildcards), and must return exactly the literal-path results.
+JOIN_PATH_QUERIES = [
+    "heartbeat",                      # logtype semi-join, no vars
+    "container_*",                    # large dict-var set -> membership join
+    "Task 17 assigned",               # int var + logtype join
+    "*beat ok",                       # prefix wildcard
+    "job=alpha",                      # '='-rule dict var
+    "session token *ab* refreshed",   # mid-star verify + join candidates
+    "value 007",                      # exact dict var via values_df
+    "no_such_token_xyz987654",        # WontMatch stays WontMatch
+]
+
+
+@pytest.mark.parametrize("query", JOIN_PATH_QUERIES)
+def test_search_forced_join_path(corpus, query):
+    expected = naive(corpus[0], query)
+    got = run(corpus, query, max_literal_ids=0)
+    assert got == expected, (
+        f"join-path query {query!r}: {len(got)} got vs {len(expected)} expected"
+    )
+
+
+def test_forced_join_compile_uses_dataframes(corpus):
+    _, encoded, lt, vd = corpus
+    compiled = search.compile_query("container_1*", lt, vd, max_literal_ids=0)
+    assert compiled.sub_queries, "expected at least one subquery"
+    assert all(s.logtype_df is not None for s in compiled.sub_queries)
+    dict_vars = [v for s in compiled.sub_queries for v in s.vars if v.is_dict]
+    assert any(v.values_df is not None for v in dict_vars)
+
+
 def test_search_ignore_case(corpus):
     expected = naive(corpus[0], "TASK * ASSIGNED", ignore_case=True)
     got = run(corpus, "TASK * ASSIGNED", ignore_case=True)
