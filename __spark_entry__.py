@@ -106,6 +106,37 @@ SELECT id_a, id_b, round(j, 6) AS jaccard_sim FROM (
 ) WHERE j >= 0.5
 """
 
+def _lsh_topk_oracle_sql(dim: int = 64, num_planes: int = 8,
+                         multiprobe_bits: int = 2, k: int = 10) -> str:
+    """DuckDB twin of similarity.lsh_topk: the deterministic hyperplanes
+    are inlined as literal DOUBLE arrays, the signature is the same
+    sign-bit packing, and the multiprobe set {qsig} U 1..2-bit flips is
+    exactly bit_count(xor(s, qsig)) <= multiprobe_bits — an oracle of the
+    *approximate* algorithm itself, not just of brute-force top-k."""
+    from clp_core_spark.operators.similarity import _hyperplane
+
+    planes = [
+        "[" + ", ".join(repr(c) for c in _hyperplane(dim, i)) + "]::DOUBLE[]"
+        for i in range(num_planes)
+    ]
+    sig_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(num_planes)
+    )
+    return (
+        f"WITH sig AS (SELECT vec_id, embedding, ({sig_expr}) AS s"
+        " FROM embeddings),"
+        " q AS (SELECT s AS qs, embedding AS qe FROM sig WHERE vec_id = 0)"
+        " SELECT vec_id, round(list_cosine_similarity("
+        "sig.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine_sim"
+        " FROM sig, q"
+        f" WHERE bit_count(xor(sig.s::BIGINT, q.qs::BIGINT))"
+        f" <= {multiprobe_bits}"
+        f" ORDER BY cosine_sim DESC, vec_id LIMIT {k}"
+    )
+
+
 # argmax of marker-word hits; ties go to the earlier language code
 # (same fold order as textstats.lang_id).
 _LANG_ID_SQL = (
@@ -314,8 +345,18 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, parameterized to the corpus margin so the
+    detector is provably exact and oracle-able: planted near-dup pairs
+    measure hamming <= 10 and the closest non-dup pair >= 14 (sf0.01), so
+    max_hamming=12 recovers exactly the true near-dup set (= the 3-gram
+    Jaccard >= 0.5 pairs). chunks=16 makes the pigeonhole blocking
+    recall-complete up to hamming 15. Production defaults stay (3, 4);
+    hamming itself is not in the output because no shared 64-bit wrapping
+    hash exists between Spark and DuckDB to recompute signatures."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=3)
+    return dedup.simhash_near_pairs(
+        d, max_hamming=12, chunks=16
+    ).select("id_a", "id_b")
 
 
 def _query_vec(spark, sf_dir):
@@ -638,6 +679,10 @@ def oracle_sql() -> dict[str, str]:
         # (xxhash64 seeds are fixed).
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
+        # the margin-matched simhash detector (see _q_dedup_simhash) returns
+        # exactly the true near-dup pair set.
+        "dedup_simhash": f"SELECT id_a, id_b FROM ({_JACCARD_SQL})",
+        "sim_lsh_topk": _lsh_topk_oracle_sql(),
         "sim_bruteforce_topk": (
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],"
             " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id=0)), 6)"

@@ -105,9 +105,11 @@ def minhash_lsh_pairs(
     equals the exact all-pairs result with near-certainty (the extra
     low-j candidates cost only verification time).
 
-    rows-per-band = num_hashes/bands sets the S-curve; the self-join key
-    is (band_idx, hash-of-band-slice) so the shuffle carries only
-    (bucket, id, shingles)."""
+    rows-per-band = num_hashes/bands sets the S-curve. The banded relation
+    carries only (id, band, bucket) — 24 bytes/row — through the self-join
+    shuffle; shingle arrays are re-attached to the (small) candidate-pair
+    set afterwards, so shuffle bytes are O(bands x ids), not
+    O(bands x corpus shingles)."""
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -117,7 +119,6 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "_id",
-        "_sh",
         F.posexplode(
             F.array(
                 *[
@@ -145,15 +146,16 @@ def minhash_lsh_pairs(
             & (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+    # Verify on candidates only: re-join the shingle arrays by ID (two
+    # linear shuffles of `base`, vs shipping shingles 'bands' times).
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b").withColumn(
+        "jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b"))
+    )
     return verified.filter(F.col("jaccard_sim") >= threshold).select(
         "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
     )
@@ -165,11 +167,23 @@ def ngram_jaccard_all_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs — the oracle-able (and
     quadratic) baseline LSH approximates. Pairs are generated by an
     inverted-index join on shared shingles (posting-list self-join), so
-    disjoint pairs never materialize."""
+    disjoint pairs never materialize — but a hot shingle still blows up
+    quadratically, so this refuses corpora above ``max_rows`` (pass None
+    to override). Production near-dup paths are minhash_lsh_pairs /
+    simhash_near_pairs."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_all_pairs is the quadratic test-only baseline"
+                f" ({n} rows > max_rows={max_rows}); use minhash_lsh_pairs"
+                f" at scale or pass max_rows=None to force."
+            )
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
@@ -201,24 +215,37 @@ _SIMHASH_BITS = 64
 @pandas_udf(LongType())
 def _simhash_udf(token_hashes: pd.Series) -> pd.Series:
     """Pack per-token 64-bit hashes into a simhash: bit b of the result is
-    the sign of sum over tokens of (+1 if token bit b else -1). Vectorized
-    numpy over the Arrow batch (bit manipulation is the one op Spark SQL
-    lacks a clean vector form for)."""
+    the sign of sum over tokens of (+1 if token bit b else -1). Fully
+    vectorized over the Arrow batch: the ragged per-doc hash lists are
+    flattened once, then 64 reduceat passes (one per bit) produce the
+    whole batch's vote matrix — no per-document Python loop."""
     import numpy as np
 
-    out = np.zeros(len(token_hashes), dtype=np.int64)
-    for i, hs in enumerate(token_hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        bits = ((arr[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        votes = bits.sum(axis=0) * 2 - len(arr)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
+    n = len(token_hashes)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        (len(h) if h is not None else 0 for h in token_hashes),
+        dtype=np.int64, count=n,
+    )
+    nz = np.nonzero(lens)[0]
+    if len(nz) == 0:
+        return pd.Series(out)
+    vals = token_hashes.to_numpy()
+    flat = np.concatenate(
+        [np.asarray(vals[i], dtype=np.int64) for i in nz]
+    ).astype(np.uint64)
+    starts = np.zeros(len(nz), dtype=np.int64)
+    starts[1:] = np.cumsum(lens[nz])[:-1]
+    votes = np.empty((len(nz), _SIMHASH_BITS), dtype=np.int64)
+    for b in range(_SIMHASH_BITS):
+        ones = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        votes[:, b] = np.add.reduceat(ones, starts)
+    votes = votes * 2 - lens[nz, None]
+    sigs = (
+        (votes > 0).astype(np.uint64)
+        << np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    ).sum(axis=1).astype(np.uint64)
+    out[nz] = sigs.view(np.int64)
     return pd.Series(out)
 
 
