@@ -498,6 +498,54 @@ def _q_search_qmark(spark, sf_dir):
     return _search(spark, sf_dir, "events", "*user=1? *").select("event_id")
 
 
+def _q_rawtext_roundtrip(spark, sf_dir):
+    """Full raw-log ingest path (clp/clp/FileCompressor.cpp +
+    MessageParser.cpp): deterministic multi-file log corpus (timestamped
+    lines + untimestamped continuation lines) -> vectorized message
+    splitter -> parse/encode -> decode. Output must equal the message
+    set reconstructed directly from events by the oracle: same (path,
+    msg_idx) ordering, same parsed ts, byte-equal message text with the
+    pre-ts prefix kept and continuation lines merged."""
+    from clp_core_spark.sources import raw_text
+
+    ev = _t(spark, sf_dir, "events")
+    ts_str = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss,SSS"
+    )
+    line = F.concat(
+        ts_str,
+        F.lit(" evt "), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" v"), F.col("event_id").cast("string"),
+        F.when(
+            F.pmod("event_id", F.lit(3)) == 0,
+            F.concat(F.lit("\n  at trace line "), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    per_event = ev.select(
+        F.concat(F.lit("f"), F.pmod("event_id", F.lit(40)).cast("string")).alias("path"),
+        "event_id",
+        line.alias("line"),
+    )
+    files = per_event.groupBy("path").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("content")
+    )
+    msgs = raw_text.split_messages_df(files)
+    enc, lt, vd = encode_pipeline.encode(msgs, key_cols=["path", "msg_idx"])
+    dec = encode_pipeline.decode(enc, lt, vd, ["path", "msg_idx"])
+    return dec.select(
+        "path", "msg_idx",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("decoded_text").alias("text"),
+    )
+
+
 def _q_schema_roundtrip(spark, sf_dir):
     """User-schema parse path (schema-file semantics, FileCompressor.cpp:
     196-228): tokenize by declared delimiters + ordered regex rules, then
@@ -585,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_two_vars": _q_search_two_vars,
         "clp_schema_roundtrip": _q_schema_roundtrip,
         "clp_search_qmark": _q_search_qmark,
+        "clp_rawtext_roundtrip": _q_rawtext_roundtrip,
     }
 
 
@@ -776,6 +825,21 @@ def oracle_sql() -> dict[str, str]:
         "clp_search_qmark": (
             f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
             " FROM events) WHERE t LIKE '%user=1_ %'"
+        ),
+        # expected messages reconstructed directly: the boundary line's
+        # tail keeps the leading space after the excised ts; events with
+        # id % 3 = 0 carry one merged continuation line.
+        "clp_rawtext_roundtrip": (
+            "SELECT 'f' || CAST(event_id % 40 AS VARCHAR) AS path,"
+            " row_number() OVER (PARTITION BY event_id % 40"
+            "   ORDER BY event_id) - 1 AS msg_idx,"
+            " epoch_ms(ts) AS ts_ms,"
+            " ' evt ' || event_type || ' user=' || CAST(user_id AS VARCHAR)"
+            " || ' v' || CAST(event_id AS VARCHAR)"
+            " || CASE WHEN event_id % 3 = 0 THEN chr(10)"
+            "    || '  at trace line ' || CAST(event_id AS VARCHAR)"
+            "    ELSE '' END AS text"
+            " FROM events"
         ),
     }
 

@@ -12,6 +12,13 @@ FileCompressor); a mapInPandas kernel splits lines, applies the
 timestamp-pattern bank per line, and merges continuation lines. Output:
 (path, msg_idx, ts, text) — ingest order is recoverable via
 (path, msg_idx), CLP's log_event_idx analog.
+
+The kernel is vectorized over the whole Arrow batch: all files' lines are
+flattened into one pandas Series, each timestamp pattern runs as ONE
+``str.extract`` + ``pd.to_datetime(format=...)`` over the still-unmatched
+subset (first-match-wins, shrinking set), and message boundaries are a
+cummax/cumsum over the hit mask — no per-line Python loop, no per-line
+regex/strptime calls.
 """
 
 from __future__ import annotations
@@ -19,22 +26,22 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from clp_core_spark.functions.timestamps import COMPILED
+from clp_core_spark.functions.timestamps import COMPILED, anchored_pattern_regex
 
 MESSAGE_SCHEMA = "path string, msg_idx long, ts timestamp, text string"
 
-_PATTERNS = [
-    (spaces, re.compile("^" + (" " * spaces) + "(" + rx + ")"), fmt, spark_fmt)
-    for spaces, fmt, rx, spark_fmt in COMPILED
-]
-
+# CLP directive -> strptime directive. Space-padded %k/%e parse via their
+# unpadded twins after the candidate's space runs are collapsed.
 _STRPTIME_MAP = {
-    "%3": "%f",  # parsed as microseconds after right-padding below
-    "%b": "%b", "%Y": "%Y", "%y": "%y", "%m": "%m", "%d": "%d",
-    "%H": "%H", "%M": "%M", "%S": "%S", "%l": "%I", "%p": "%p",
+    "%3": "%f",  # CLP %3 is exactly 3 digits; strptime %f takes 1-6.
+    "%b": "%b", "%B": "%B", "%a": "%a",
+    "%Y": "%Y", "%y": "%y", "%m": "%m", "%d": "%d", "%e": "%d",
+    "%H": "%H", "%k": "%H", "%M": "%M", "%S": "%S",
+    "%l": "%I", "%p": "%p",
 }
 
 
@@ -51,52 +58,131 @@ def _py_strptime_format(clp_fmt: str) -> str:
     return "".join(out)
 
 
-_PY_FORMATS = [_py_strptime_format(fmt) for _, fmt, _, _ in
-               [(s, f, r, sf) for s, f, r, sf in COMPILED]]
+# (anchored 2-group regex: (prefix)(ts), pyfmt|None, collapse, epoch_ms,
+# yearless) per bank pattern, in CLP's first-match-wins order. The prefix
+# group implements num_spaces_before_ts = N space chars anywhere before
+# the ts (timestamps.anchored_pattern_regex).
+_PATTERNS = [
+    (
+        re.compile(anchored_pattern_regex(i)),
+        None if epoch_ms else _py_strptime_format(fmt),
+        collapse,
+        epoch_ms,
+        ("%Y" not in fmt and "%y" not in fmt and not epoch_ms),
+    )
+    for i, (spaces, fmt, rx, _spark_fmt, collapse, epoch_ms) in enumerate(COMPILED)
+]
 
 
-def _try_parse_line(line: str):
-    """First matching known pattern -> (datetime, tail) else None."""
-    from datetime import datetime
-
-    for i, (spaces, rx, clp_fmt, _sf) in enumerate(_PATTERNS):
-        m = rx.match(line)
-        if not m:
+def _parse_lines(lines: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized first-match-wins parse of the whole line batch.
+    Returns (ts: datetime64 Series with NaT for no-timestamp lines,
+    tail: the message content — pre-ts prefix kept, timestamp excised
+    (ParsedMessage.cpp:34-35); the original line when no pattern
+    matched)."""
+    ts = pd.Series(pd.NaT, index=lines.index, dtype="datetime64[ns]")
+    tail = lines.copy()
+    unmatched = pd.Series(True, index=lines.index)
+    for rx, pyfmt, collapse, epoch_ms, yearless in _PATTERNS:
+        if not unmatched.any():
+            break
+        sub = lines[unmatched]
+        groups = sub.str.extract(rx)  # col 0 = prefix, col 1 = ts text
+        cand = groups[1]
+        hit = cand.notna()
+        if not hit.any():
             continue
-        raw = m.group(1)
-        pyfmt = _PY_FORMATS[i]
-        cand = raw
-        if "%f" in pyfmt:
-            # CLP %3 is exactly 3 digits; strptime %f takes 1-6 — works.
-            pass
-        try:
-            ts = datetime.strptime(cand, pyfmt)
-        except ValueError:
+        c = cand[hit]
+        if epoch_ms:
+            parsed = pd.to_datetime(
+                c.astype("int64"), unit="ms", errors="coerce"
+            )
+        else:
+            norm = c.str.replace("  +", " ", regex=True) if collapse else c
+            parsed = pd.to_datetime(norm, format=pyfmt, errors="coerce")
+            if yearless and parsed.notna().any():
+                # strptime defaults the year to 1900; Spark's formatter
+                # defaults to 1970 — align with the engine (and CLP's
+                # "imprecise pattern" semantics don't define the year).
+                parsed = parsed + pd.DateOffset(years=70)
+        ok = parsed.notna()
+        if not ok.any():
             continue
-        return ts, line[m.end() :]
-    return None
+        idx = c.index[ok]
+        ts.loc[idx] = parsed[ok]
+        # anchored at ^: keep the prefix (group 1), excise the timestamp
+        tail.loc[idx] = sub.loc[idx].str.replace(rx, r"\1", n=1, regex=True)
+        unmatched.loc[idx] = False
+    return ts, tail
+
+
+def _messages_frame(paths: list[str], contents: list[str]) -> pd.DataFrame:
+    """Split many files' contents into messages in one vectorized pass."""
+    file_ix: list[int] = []
+    all_lines: list[str] = []
+    for i, content in enumerate(contents):
+        ls = content.splitlines()
+        file_ix.extend([i] * len(ls))
+        all_lines.append(ls)
+    flat = [line for ls in all_lines for line in ls]
+    if not flat:
+        return pd.DataFrame(
+            {"path": pd.Series(dtype=object), "msg_idx": pd.Series(dtype="int64"),
+             "ts": pd.Series(dtype="datetime64[ns]"), "text": pd.Series(dtype=object)}
+        )
+    lines = pd.Series(flat, dtype=object)
+    fix = np.asarray(file_ix, dtype=np.int64)
+    ts, tail = _parse_lines(lines)
+
+    # Boundary rule (clp/MessageParser.hpp:30-34): a timestamped line opens
+    # a message; before the first timestamp, every line is its own message.
+    is_ts = ts.notna().to_numpy()
+    seen_ts = pd.Series(is_ts).groupby(fix).cummax().to_numpy()
+    new_msg = is_ts | ~seen_ts
+    gid = np.cumsum(new_msg) - 1
+
+    texts = pd.Series(tail.to_numpy(dtype=object)).groupby(gid).agg("\n".join)
+    first = np.nonzero(new_msg)[0]
+    msg_file = fix[first]
+    msg_idx = pd.Series(np.ones(len(first), dtype=np.int64)).groupby(
+        msg_file
+    ).cumcount().to_numpy()
+    return pd.DataFrame(
+        {
+            "path": np.asarray(paths, dtype=object)[msg_file],
+            "msg_idx": msg_idx,
+            "ts": ts.to_numpy()[first],
+            "text": texts.to_numpy(dtype=object),
+        }
+    )
 
 
 def split_messages(content: str) -> list[tuple[int, object, str]]:
-    """(msg_idx, ts-or-None, text) per message, CLP boundary rule."""
-    msgs: list[tuple[int, object, str]] = []
-    cur_ts = None
-    cur_lines: list[str] = []
-    for line in content.splitlines():
-        parsed = _try_parse_line(line)
-        if parsed is not None:
-            if cur_lines:
-                msgs.append((len(msgs), cur_ts, "\n".join(cur_lines)))
-            cur_ts, tail = parsed
-            cur_lines = [tail]
-        elif cur_lines:
-            cur_lines.append(line)
-        else:
-            # no timestamp yet: every line is its own message
-            msgs.append((len(msgs), None, line))
-    if cur_lines:
-        msgs.append((len(msgs), cur_ts, "\n".join(cur_lines)))
-    return msgs
+    """(msg_idx, ts-or-None, text) per message, CLP boundary rule.
+    Single-file convenience wrapper over the vectorized kernel."""
+    pdf = _messages_frame(["-"], [content])
+    out = []
+    for r in pdf.itertuples(index=False):
+        t = None if pd.isna(r.ts) else r.ts.to_pydatetime()
+        out.append((int(r.msg_idx), t, r.text))
+    return out
+
+
+def split_messages_df(files: DataFrame, path_col: str = "path",
+                      content_col: str = "content") -> DataFrame:
+    """(path, content: string) rows -> message DataFrame via the
+    vectorized mapInPandas kernel (shared by read_log_files and
+    string-built fixtures)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _messages_frame(
+                list(pdf[path_col]), list(pdf[content_col])
+            )
+
+    return files.select(path_col, content_col).mapInPandas(
+        _kernel, schema=MESSAGE_SCHEMA
+    )
 
 
 def read_log_files(spark: SparkSession, path: str) -> DataFrame:
@@ -105,16 +191,10 @@ def read_log_files(spark: SparkSession, path: str) -> DataFrame:
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            paths, idxs, tss, texts = [], [], [], []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]).decode("utf-8", errors="replace")
-                for msg_idx, ts, text in split_messages(content):
-                    paths.append(row["path"])
-                    idxs.append(msg_idx)
-                    tss.append(ts)
-                    texts.append(text)
-            yield pd.DataFrame(
-                {"path": paths, "msg_idx": idxs, "ts": tss, "text": texts}
-            )
+            contents = [
+                bytes(b).decode("utf-8", errors="replace")
+                for b in pdf["content"]
+            ]
+            yield _messages_frame(list(pdf["path"]), contents)
 
     return files.select("path", "content").mapInPandas(_kernel, schema=MESSAGE_SCHEMA)

@@ -2,18 +2,14 @@
 
 import __spark_entry__ as entry
 
-# ops whose results are approximate/probabilistic by nature — the driver
-# records a rows-only check for these
-ROWS_ONLY = {"dedup_simhash", "sim_lsh_topk"}
-
-
-def test_every_query_has_oracle_or_is_declared_rows_only():
+def test_every_query_has_an_oracle():
+    """Since round 2 every query is oracle-paired — the formerly rows-only
+    simhash/LSH queries have exact DuckDB twins (margin-matched detector /
+    inlined-hyperplane signature oracle)."""
     qs = set(entry.queries())
     oracles = set(entry.oracle_sql())
     assert oracles <= qs, f"oracles without queries: {oracles - qs}"
-    assert qs - oracles == ROWS_ONLY, (
-        f"queries missing oracles: {qs - oracles - ROWS_ONLY}"
-    )
+    assert qs == oracles, f"queries missing oracles: {qs - oracles}"
 
 
 def test_oracle_sql_mentions_only_registered_views():
@@ -23,9 +19,10 @@ def test_oracle_sql_mentions_only_registered_views():
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     }
+    ctes = {"h", "sh", "pairs", "sig", "q", "lines"}
     for name, sql in entry.oracle_sql().items():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
-        assert tables <= allowed | {"h", "sh", "pairs"}, (name, tables - allowed)
+        assert tables <= allowed | ctes, (name, tables - allowed - ctes)
 
 
 def test_query_callables_are_binary():
