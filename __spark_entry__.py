@@ -427,6 +427,36 @@ def _semistructured(spark, sf_dir):
     return _CACHE[key]
 
 
+def _clps_encoded2(spark, sf_dir):
+    """_semistructured with the ClpString leaf ('msg') CLP-encoded and the
+    raw string column dropped — clp_s storage parity."""
+    key = (id(spark), sf_dir, "_clps2")
+    if key not in _CACHE:
+        from clp_core_spark.operators import clps_search
+
+        enc, _, _ = _semistructured(spark, sf_dir)
+        enc2, dicts = clps_search.encode_clpstring_columns(
+            enc, ["msg"], key_cols=["event_id"]
+        )
+        _CACHE[key] = (enc2.persist(), dicts)
+    return _CACHE[key]
+
+
+def _q_clps_clpstring_search(spark, sf_dir):
+    """clp_s mini-Grep: a KQL wildcard over a CLP-encoded ClpString column
+    runs dictionary-first on the column's logtype/var dictionaries — no
+    raw-text scan (clp_s/search/clp_search/Grep.cpp, Output.cpp:20-189;
+    golden analog tests/test-clp_s-search.cpp:169-193). The AND clause on
+    the VarString column compiles to a plain pushed predicate."""
+    from clp_core_spark.operators import clps_search
+
+    enc2, dicts = _clps_encoded2(spark, sf_dir)
+    hits = clps_search.kql_filter_clps(
+        enc2, 'msg: "*num 12*" AND type: error', dicts, ["event_id"]
+    )
+    return hits.select("event_id")
+
+
 def _q_clps_schema_tree(spark, sf_dir):
     _, tree, _ = _semistructured(spark, sf_dir)
     return tree
@@ -623,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clps_schema_tree": _q_clps_schema_tree,
         "clps_schema_counts": _q_clps_schema_counts,
         "clps_typed_search": _q_clps_typed_search,
+        "clps_clpstring_search": _q_clps_clpstring_search,
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
         "kql_date_range": _q_kql_date_range,
@@ -780,6 +811,11 @@ def oracle_sql() -> dict[str, str]:
         "clps_typed_search": (
             "SELECT event_id FROM events"
             " WHERE user_id > 10 AND event_type = 'error'"
+        ),
+        "clps_clpstring_search": (
+            "SELECT event_id FROM events"
+            " WHERE ('evt num ' || CAST(event_id AS VARCHAR))"
+            " LIKE '%num 12%' AND event_type = 'error'"
         ),
         "kql_bool_range": (
             "SELECT event_id FROM events"

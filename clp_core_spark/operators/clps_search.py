@@ -1,0 +1,180 @@
+"""ClpString column search — clp_s's dictionary search over encoded JSON
+string columns (the "mini-Grep").
+
+clp_s stores string leaves that contain spaces as CLP-encoded columns with
+per-column logtype/variable dictionaries, and answers KQL string
+predicates on them dictionary-first, without decompressing the column
+(clp_s/search/clp_search/Grep.cpp, Query.cpp, Output.cpp:20-189; golden
+behavior tests/test-clp_s-search.cpp:169-193, e.g. ``msg: "*Abc123*"``).
+
+Spark-first layout:
+
+- :func:`encode_clpstring_columns` replaces each ClpString column with
+  ``<col>__logtype_id / __encoded_vars / __var_types`` (parse once via
+  encode_pipeline; raw strings dropped — storage parity with clp_s).
+- :func:`search_clpstring_column` compiles a KQL string value with
+  operators.search (``wrap=False``: clp_s matches the FULL value, no
+  implicit stars — kql.cpp unquote_literal) and runs it on the renamed
+  encoded columns; candidates flow through the same literal-isin /
+  broadcast-semi-join machinery and the decode-verify residual stage.
+- :func:`kql_filter_clps` routes KQL clauses: ``col: value`` over an
+  encoded ClpString column becomes a dictionary search + key semi-join;
+  all other clauses compile to Column predicates (operators.kql). Clauses
+  combine at the top level with a single connective (all-AND chains
+  intersect via successive semi-joins; all-OR chains union + dedup).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from clp_core_spark.operators import encode_pipeline, search
+from clp_core_spark.operators.kql import (
+    KqlCompiler,
+    Tok,
+    _lex,
+    _unescape,
+    unescape_kql_value,
+)
+
+_ENC_FIELDS = ("logtype_id", "encoded_vars", "var_types", "n_vars")
+
+
+def encode_clpstring_columns(
+    df: DataFrame, cols: list[str], key_cols: list[str]
+) -> tuple[DataFrame, dict[str, tuple[DataFrame, DataFrame]]]:
+    """CLP-encode each ClpString column in place: the raw string column is
+    replaced by ``<col>__logtype_id/__encoded_vars/__var_types/__n_vars``
+    plus ``<col>__present`` (records missing the leaf keep their row —
+    clp_s would place them in a different schema table; here absence is a
+    presence flag, and searches only ever match present rows).
+    Returns (encoded_df, {col: (logtype_dict, var_dict)})."""
+    out = df
+    dicts: dict[str, tuple[DataFrame, DataFrame]] = {}
+    for c in cols:
+        out = out.withColumn(f"{c}__present", F.col(c).isNotNull())
+        # encode() inner-joins on the logtype; nulls must become a real
+        # (empty) message so absent-leaf rows survive the join.
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+        enc, lt, vd = encode_pipeline.encode(
+            out, key_cols=key_cols, text_col=c, keep_text=False
+        )
+        for base in _ENC_FIELDS:
+            enc = enc.withColumnRenamed(base, f"{c}__{base}")
+        out = enc
+        dicts[c] = (lt, vd)
+    return out, dicts
+
+
+def search_clpstring_column(
+    encoded: DataFrame,
+    col: str,
+    dicts: dict[str, tuple[DataFrame, DataFrame]],
+    query: str,
+    key_cols: list[str],
+    ignore_case: bool = False,
+    wrap: bool = False,
+) -> DataFrame:
+    """Rows of ``encoded`` whose ClpString column ``col`` matches the CLP
+    wildcard ``query`` (full-value match by default, clp_s semantics).
+    Runs entirely on the encoded representation; the wildcard-verify
+    residue decodes only candidate rows."""
+    lt, vd = dicts[col]
+    view = encoded.filter(F.col(f"{col}__present")).select(
+        *key_cols,
+        F.col(f"{col}__logtype_id").alias("logtype_id"),
+        F.col(f"{col}__encoded_vars").alias("encoded_vars"),
+        F.col(f"{col}__var_types").alias("var_types"),
+    )
+    hits = search.search_text(
+        view, lt, vd, query, key_cols, ignore_case=ignore_case, wrap=wrap
+    )
+    return encoded.join(hits.select(*key_cols), key_cols, "leftsemi")
+
+
+def _split_top_level(kql: str) -> tuple[list[str], list[str]]:
+    """Split a KQL string on depth-0 AND/OR keywords. Returns (clauses,
+    connectives); len(connectives) == len(clauses) - 1."""
+    toks = _lex(kql)
+    depth = 0
+    clauses: list[str] = []
+    ops: list[str] = []
+    seg_start = 0
+    for t in toks:
+        if t.kind == "punct" and t.text in "({":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")}":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "lit"
+            and t.text.lower() in ("and", "or")
+        ):
+            clauses.append(kql[seg_start : t.start])
+            ops.append(t.text.lower())
+            seg_start = t.end
+    clauses.append(kql[seg_start:])
+    return clauses, ops
+
+
+def _clp_clause(toks: list[Tok], clp_cols) -> tuple[str, str] | None:
+    """If the clause is exactly ``col : value`` with col ClpString-encoded,
+    return (col, kql-unescaped value) else None."""
+    if (
+        len(toks) == 3
+        and toks[0].kind in ("lit", "quoted")
+        and toks[1].kind == "punct"
+        and toks[1].text == ":"
+        and toks[2].kind in ("lit", "quoted")
+    ):
+        name = _unescape(toks[0].text)
+        if name in clp_cols:
+            return name, unescape_kql_value(toks[2].text)
+    return None
+
+
+def kql_filter_clps(
+    encoded: DataFrame,
+    kql: str,
+    dicts: dict[str, tuple[DataFrame, DataFrame]],
+    key_cols: list[str],
+) -> DataFrame:
+    """KQL over a clp_s-lite table whose ClpString columns are CLP-encoded.
+    ``col: value`` clauses on encoded columns run as dictionary searches
+    (search-without-decompression); everything else compiles to Column
+    predicates. Top-level connectives must be homogeneous (all AND or all
+    OR) — parenthesize to mix."""
+    clauses, ops = _split_top_level(kql)
+    if ops and len(set(ops)) > 1:
+        raise ValueError(
+            "mixed top-level AND/OR over ClpString clauses is ambiguous; "
+            "parenthesize the KQL query"
+        )
+
+    def apply_clause(base: DataFrame, clause: str) -> DataFrame:
+        toks = _lex(clause)
+        negated = bool(toks) and toks[0].kind == "lit" and toks[0].text.lower() == "not"
+        hit = _clp_clause(toks[1:] if negated else toks, dicts)
+        if hit is not None:
+            col, value = hit
+            matched = search_clpstring_column(base, col, dicts, value, key_cols)
+            if not negated:
+                return matched
+            # clp_s NOT only ranges over records whose schema HAS the
+            # column (absent-leaf records match no schema for it).
+            return base.filter(F.col(f"{col}__present")).join(
+                matched.select(*key_cols), key_cols, "left_anti"
+            )
+        return base.filter(KqlCompiler(base).compile(clause))
+
+    if not ops or ops[0] == "and":
+        out = encoded
+        for clause in clauses:
+            out = apply_clause(out, clause)
+        return out
+    results = [apply_clause(encoded, c) for c in clauses]
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.dropDuplicates(key_cols)

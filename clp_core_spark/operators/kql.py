@@ -28,7 +28,11 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from clp_core_spark.functions.wildcard import is_wildcard, wildcard_to_regex
+from clp_core_spark.functions.wildcard import (
+    clean_up_wildcard_search_string,
+    is_wildcard,
+    wildcard_to_regex,
+)
 
 # --- lexer -------------------------------------------------------------------
 
@@ -51,6 +55,8 @@ _ESCAPES = {"\\t": "\t", "\\r": "\r", "\\n": "\n"}
 class Tok:
     kind: str  # 'date' | 'quoted' | 'range_op' | 'punct' | 'lit'
     text: str
+    start: int = -1  # source span, for top-level clause splitting
+    end: int = -1
 
 
 def _lex(s: str) -> list[Tok]:
@@ -60,11 +66,11 @@ def _lex(s: str) -> list[Tok]:
         m = _TOKEN_RE.match(s, pos)
         if not m:
             raise ValueError(f"KQL lex error at {pos}: {s[pos:pos+20]!r}")
-        pos = m.end()
+        start, pos = pos, m.end()
         kind = m.lastgroup
         if kind == "ws":
             continue
-        out.append(Tok(kind, m.group()))
+        out.append(Tok(kind, m.group(), start, pos))
     return out
 
 
@@ -95,6 +101,77 @@ def _unescape(raw: str) -> str:
 
 
 _NUM_RE = re.compile(r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+
+# escapes that resolve to a literal character in KQL values
+# (clp_s/Utils.cpp unescape_kql_internal)
+_KQL_VALUE_ESCAPES = {
+    '"': '"', "t": "\t", "r": "\r", "n": "\n", "b": "\b", "f": "\f",
+    "{": "{", "}": "}", "(": "(", ")": ")", "<": "<", ">": ">",
+}
+
+
+def unescape_kql_value(raw: str) -> str:
+    """clp_s's StringUtils::unescape_kql_value (clp_s/Utils.cpp): strip
+    quotes, resolve escape sequences — but KEEP ``\\\\``, ``\\*`` and
+    ``\\?`` escaped so the downstream wildcard interpreter treats them as
+    literals. Wildcards are live inside quoted strings too (the reference
+    golden query ``msg: "*Abc123*"`` is a wildcard match,
+    tests/test-clp_s-search.cpp:180)."""
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        raw = raw[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(raw):
+            raise ValueError("trailing escape in KQL value")
+        n = raw[i + 1]
+        if n == "\\":
+            out.append("\\\\")
+        elif n in "*?":
+            out.append("\\" + n)
+        elif n in _KQL_VALUE_ESCAPES:
+            out.append(_KQL_VALUE_ESCAPES[n])
+        elif n == "u" and i + 6 <= len(raw):
+            ch = chr(int(raw[i + 2 : i + 6], 16))
+            # unicode escapes are always literal characters
+            out.append("\\" + ch if ch in "\\*?" else ch)
+            i += 6
+            continue
+        else:
+            raise ValueError(f"invalid KQL value escape \\{n}")
+        i += 2
+    return "".join(out)
+
+
+def _has_unescaped_wildcard(s: str) -> bool:
+    escaped = False
+    for c in s:
+        if escaped:
+            escaped = False
+        elif c == "\\":
+            escaped = True
+        elif is_wildcard(c):
+            return True
+    return False
+
+
+def _resolve_escapes(s: str) -> str:
+    """Final pass for literal (non-wildcard) use: ``\\x`` -> ``x``."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 # --- parser / compiler --------------------------------------------------------
@@ -240,15 +317,19 @@ class KqlCompiler:
     def _match(self, col: Column, t: Tok) -> Column:
         if t.kind == "date":
             return col == self._literal_value(t)
-        s = _unescape(t.text)
-        has_wild = t.kind != "quoted" and any(
-            is_wildcard(c) and (i == 0 or t.text[i - 1] != "\\")
-            for i, c in enumerate(t.text)
-        )
-        if has_wild:
-            if s == "*":
+        # clp_s value semantics: unescape keeps \\ \* \? escaped; wildcards
+        # are live in quoted strings too; when the pattern has a live
+        # wildcard the STILL-ESCAPED text feeds wildcard_to_regex (which
+        # interprets backslash escapes as literals) — so 'a*\*b' treats the
+        # escaped star literally (clp_s/Utils.cpp unescape_kql_value).
+        v = unescape_kql_value(t.text)
+        if _has_unescaped_wildcard(v):
+            if set(v) == {"*"}:
                 return col.isNotNull()
-            return col.cast("string").rlike(wildcard_to_regex(s))
+            return col.cast("string").rlike(
+                wildcard_to_regex(clean_up_wildcard_search_string(v))
+            )
+        s = _resolve_escapes(v)
         if t.kind != "quoted" and _NUM_RE.match(s):
             num = float(s) if ("." in s or "e" in s.lower()) else int(s)
             return col == F.lit(num)

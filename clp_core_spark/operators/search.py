@@ -394,9 +394,15 @@ def compile_query(
     var_dict: DataFrame,
     ignore_case: bool = False,
     max_literal_ids: int = ISIN_MAX_IDS,
+    wrap: bool = True,
 ) -> CompiledQuery:
-    """Grep::process_raw_query (Grep.cpp:499-628)."""
-    processed = clean_up_wildcard_search_string("*" + search_string + "*")
+    """Grep::process_raw_query (Grep.cpp:499-628). ``wrap=True`` is clp's
+    CLI substring-grep convention (query wrapped in ``*...*``);
+    ``wrap=False`` matches the full message — clp_s KQL value semantics
+    (clp_s/search/kql/kql.cpp unquote_literal, no implicit stars)."""
+    if wrap:
+        search_string = "*" + search_string + "*"
+    processed = clean_up_wildcard_search_string(search_string)
 
     # '?' has no subquery support: treat as '*' for generation; the final
     # verify uses the original '?' (Grep.cpp:521-530).
@@ -637,11 +643,12 @@ def search_text(
     key_cols: list[str],
     ignore_case: bool = False,
     max_literal_ids: int = ISIN_MAX_IDS,
+    wrap: bool = True,
     **kw,
 ) -> DataFrame:
     """Compile + execute in one call."""
     compiled = compile_query(
         query, logtype_dict, var_dict, ignore_case=ignore_case,
-        max_literal_ids=max_literal_ids,
+        max_literal_ids=max_literal_ids, wrap=wrap,
     )
     return search(encoded, logtype_dict, var_dict, compiled, key_cols, **kw)

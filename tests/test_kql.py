@@ -81,5 +81,7 @@ def test_date_literal(df):
 
 def test_escapes(df):
     assert q(df, 'msg: "connection opened"') == {0}
-    assert q(df, r"msg: connection\ opened") == set() or True  # spaces escape via \t only
+    # clp_s rejects \<space> (unescape_kql_internal default case -> false)
+    with pytest.raises(ValueError):
+        q(df, r"msg: connection\ opened")
     assert q(df, "msg: disk\\*") == set()  # escaped wildcard is literal
