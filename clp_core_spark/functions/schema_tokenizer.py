@@ -123,21 +123,39 @@ def tokenize_frame_schema(
         )
         return pd.DataFrame(cols, index=idx)
 
-    tl = [t.replace("\x00", " ") for t in tl]  # ' ' is always a delimiter
-    joined = "\x00".join(tl)
-    matches = batch_re.findall(joined)
-    if not matches:
-        return _empty()
-    d_clean, t_list = zip(*matches)
+    if any("\x00" in t for t in tl):
+        # NUL would collide with the batch sentinel: per-row scan keeps
+        # the bytes intact so decode(encode(x)) stays byte-equal (same
+        # fallback as tokenizer.tokenize_frame; rewriting NUL to ' '
+        # would corrupt the roundtrip).
+        row_re = re.compile(rf"([{dclass}]+)|([^{dclass}]+)")
+        seg_rows: list[int] = []
+        d_parts: list[str] = []
+        t_parts: list[str] = []
+        for r, t in enumerate(tl):
+            for d, tk in row_re.findall(t):
+                seg_rows.append(r)
+                d_parts.append(d)
+                t_parts.append(tk)
+        if not d_parts:
+            return _empty()
+        d_clean, t_list = tuple(d_parts), tuple(t_parts)
+        row_pos = np.asarray(seg_rows, dtype=np.int64)
+    else:
+        joined = "\x00".join(tl)
+        matches = batch_re.findall(joined)
+        if not matches:
+            return _empty()
+        d_clean, t_list = zip(*matches)
 
-    # Segments tile the sentinel-free concatenation: cumulative segment
-    # lengths against cumulative text lengths recover each segment's row.
-    text_lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=n)
-    seg_lens = np.fromiter(
-        (len(a) + len(b) for a, b in matches), dtype=np.int64, count=len(matches)
-    )
-    seg_start = np.cumsum(seg_lens) - seg_lens
-    row_pos = np.searchsorted(np.cumsum(text_lens), seg_start, side="right")
+        # Segments tile the sentinel-free concatenation: cumulative segment
+        # lengths against cumulative text lengths recover each segment's row.
+        text_lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=n)
+        seg_lens = np.fromiter(
+            (len(a) + len(b) for a, b in matches), dtype=np.int64, count=len(matches)
+        )
+        seg_start = np.cumsum(seg_lens) - seg_lens
+        row_pos = np.searchsorted(np.cumsum(text_lens), seg_start, side="right")
 
     t_arr = pa.array(t_list, type=pa.string())
     is_tok = np.asarray(pc.not_equal(t_arr, "")).astype(bool)

@@ -47,11 +47,20 @@ T_ARRAY = "UnstructuredArray"
 T_OBJECT = "Object"
 
 
-def infer_json_schema(df: DataFrame, json_col: str) -> StructType:
+def infer_json_schema(
+    df: DataFrame, json_col: str, sample_rows: int | None = 100_000
+) -> StructType:
     """Distributed schema inference over the JSON column — the MPT merge
-    (clp_s/JsonParser.cpp:150-218) as Spark's native JSON reader pass."""
+    (clp_s/JsonParser.cpp:150-218) as Spark's native JSON reader pass.
+
+    Inference is bounded to ``sample_rows`` records (one limited pass, not
+    a full-corpus Python round-trip); at 100 TB pass an explicit schema to
+    encode_semistructured, or ``sample_rows=None`` to force a full scan."""
+    src = df.select(json_col)
+    if sample_rows is not None:
+        src = src.limit(sample_rows)
     sdf = df.sparkSession.read.json(
-        df.select(json_col).rdd.map(lambda r: r[0] if r[0] is not None else "{}")
+        src.rdd.map(lambda r: r[0] if r[0] is not None else "{}")
     )
     return sdf.schema
 

@@ -21,15 +21,23 @@ def decompress_to_text(
     out_path: str,
     key_cols: list[str] | None = None,
     order_cols: list[str] | None = None,
+    partitions: int = 32,
 ) -> None:
-    """Decode every row and write plain text lines in stable order
-    (the per-turn text-equality surface: reading the output back equals
-    the original corpus under (conv_id, turn_idx) ordering)."""
+    """Decode every row and write plain text lines in stable global order
+    (the per-turn text-equality surface: reading the part files back in
+    filename order equals the original corpus under (conv_id, turn_idx)
+    ordering).
+
+    Range-partitioned parallel write: partition i holds strictly smaller
+    keys than partition i+1 and output files part-0000i follow partition
+    order, so global order is (file order, line order) — no single-task
+    bottleneck (FileDecompressor writes one file at a time; a distributed
+    sink must not)."""
     key_cols = key_cols or ["conv_id", "turn_idx"]
     order_cols = order_cols or key_cols
     decoded = encode_pipeline.decode(encoded, logtype_dict, var_dict, key_cols)
     (
-        decoded.repartition(1)
+        decoded.repartitionByRange(partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .select(F.col("decoded_text").alias("value"))
         .write.mode("overwrite")

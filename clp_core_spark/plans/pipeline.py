@@ -27,17 +27,18 @@ deltas, wall time, turns/sec — CLP's archive metadata rows
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from clp_core_spark.operators import dictionaries, encode_pipeline, enrich, route
+from clp_core_spark.plans import dictstore
 from clp_core_spark.sources import transcripts
 
 LEDGER_SCHEMA = (
-    "partition_id int, n_rows long, n_routed long, lt_dict_size long,"
+    "partition_id int, sub_epoch int, n_subs int,"
+    " n_rows long, n_routed long, lt_dict_size long,"
     " var_dict_size long, wall_sec double, turns_per_sec double,"
     " input_min_ts timestamp, input_max_ts timestamp, finished_at double"
 )
@@ -52,17 +53,26 @@ class IngestPipeline:
         salt_buckets: int = 16,
         var_id_mode: str = "hash",
         write_glt: bool = False,
+        dict_budget: int | None = None,
     ):
         """``var_id_mode='dense'`` + ``write_glt=True`` is the archival
         configuration: dense dictionary IDs and a logtype-clustered copy
         compress ~1.4x better at rest than the hash/row-ordered routing
-        format (measured in BENCH/BASELINE.md §Storage ratio)."""
+        format (measured in BENCH/BASELINE.md §Storage ratio).
+
+        ``dict_budget`` caps NEW dictionary entries (logtypes + vars) per
+        committed sub-epoch: a partition whose dictionary delta exceeds
+        the budget is split into deterministic sub-epochs, each with its
+        own ledger row and dictionary snapshot — the analog of CLP rolling
+        a new archive when dictionaries exceed the target size
+        (clp/clp/compression.cpp:137-140)."""
         self.spark = spark
         self.work_root = work_root
         self.num_partitions = num_partitions
         self.salt_buckets = salt_buckets
         self.var_id_mode = var_id_mode
         self.write_glt = write_glt
+        self.dict_budget = dict_budget
         self.ledger_path = f"{work_root}/ledger"
         self.dicts_path = f"{work_root}/dicts"
         self.sinks_root = f"{work_root}/sinks"
@@ -77,7 +87,21 @@ class IngestPipeline:
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def done_partitions(self) -> set[int]:
-        return {r["partition_id"] for r in self.ledger().select("partition_id").collect()}
+        """Partitions whose EVERY sub-epoch committed: a partition split
+        into n_subs sub-epochs is done iff all n_subs ledger rows exist."""
+        rows = self.ledger().groupBy("partition_id").agg(
+            F.count("*").alias("n"), F.max("n_subs").alias("want")
+        ).collect()
+        return {r["partition_id"] for r in rows if r["n"] >= r["want"]}
+
+    def done_sub_epochs(self, partition_id: int) -> set[int]:
+        return {
+            r["sub_epoch"]
+            for r in self.ledger()
+            .filter(F.col("partition_id") == partition_id)
+            .select("sub_epoch")
+            .collect()
+        }
 
     def _append_ledger(self, row: dict) -> None:
         self.spark.createDataFrame([row], LEDGER_SCHEMA).write.mode("append").parquet(
@@ -87,20 +111,10 @@ class IngestPipeline:
     # -- dictionaries ------------------------------------------------------
 
     def _load_dict(self, name: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(f"{self.dicts_path}/{name}")
-        except Exception:  # noqa: BLE001
-            return None
+        return dictstore.load_dict(self.spark, self.dicts_path, name)
 
     def _save_dict(self, name: str, df: DataFrame) -> None:
-        # Write-then-swap keeps the previous epoch readable on failure.
-        tmp = f"{self.dicts_path}/{name}_next"
-        df.write.mode("overwrite").parquet(tmp)
-        final = f"{self.dicts_path}/{name}"
-        import shutil
-
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
+        dictstore.save_dict(self.dicts_path, name, df)
 
     # -- the per-partition unit of work -------------------------------------
 
@@ -110,19 +124,64 @@ class IngestPipeline:
         part_col = F.pmod(F.xxhash64("conv_id"), F.lit(self.num_partitions)).cast("int")
         df = input_df.withColumn("_epoch_part", part_col)
 
+        done = self.done_partitions()  # one ledger scan for the whole plan
         todo = [
             p
             for p in (partitions if partitions is not None else range(self.num_partitions))
-            if p not in self.done_partitions()
+            if p not in done
         ]
         for p in todo:
             self._run_partition(df.filter(F.col("_epoch_part") == p).drop("_epoch_part"), p)
         return self.ledger()
 
+    def _dict_delta(self, part_df: DataFrame, lt_existing, var_existing) -> int:
+        """NEW dictionary entries this partition would add (logtypes +
+        vars) — the rollover trigger (clp/clp/compression.cpp:137-140
+        checks dictionary size against the target archive size)."""
+        parsed = encode_pipeline.parse(part_df, slim=True)
+        new_lt = parsed.select("logtype").distinct()
+        if lt_existing is not None:
+            new_lt = new_lt.join(lt_existing, "logtype", "left_anti")
+        new_var = (
+            parsed.select(F.explode("dict_strs").alias("var_str"))
+            .where(F.col("var_str").isNotNull())
+            .distinct()
+        )
+        if var_existing is not None:
+            new_var = new_var.join(var_existing, "var_str", "left_anti")
+        return new_lt.count() + new_var.count()
+
     def _run_partition(self, part_df: DataFrame, partition_id: int) -> None:
+        lt_existing = self._load_dict("logtype")
+        var_existing = self._load_dict("var")
+
+        n_subs = 1
+        if self.dict_budget is not None:
+            delta = self._dict_delta(part_df, lt_existing, var_existing)
+            n_subs = max(1, -(-delta // self.dict_budget))  # ceil
+
+        done_subs = self.done_sub_epochs(partition_id) if n_subs > 1 else set()
+        for sub in range(n_subs):
+            if sub in done_subs:
+                continue
+            if n_subs == 1:
+                sub_df = part_df
+            else:
+                # deterministic row split: re-runs see identical sub-epochs
+                sub_df = part_df.filter(
+                    F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_subs)) == sub
+                )
+            self._run_sub_epoch(sub_df, partition_id, sub, n_subs)
+
+    def _run_sub_epoch(
+        self, part_df: DataFrame, partition_id: int, sub_epoch: int, n_subs: int
+    ) -> None:
         t0 = time.time()
         lt_existing = self._load_dict("logtype")
         var_existing = self._load_dict("var")
+        # sink partition value: unique per (partition, sub), stable across
+        # resumes; plain partition_id when there is no split
+        epoch_part = partition_id + sub_epoch * self.num_partitions
 
         encoded, lt_dict, var_dict = encode_pipeline.encode(
             part_df,
@@ -137,7 +196,7 @@ class IngestPipeline:
         enriched = route.with_logtype_class(
             enriched.join(F.broadcast(lt_dict), "logtype_id")
         ).drop("logtype")
-        enriched = enriched.withColumn("epoch_part", F.lit(partition_id)).persist()
+        enriched = enriched.withColumn("epoch_part", F.lit(epoch_part)).persist()
 
         stats = part_df.agg(
             F.count("*").alias("n"), F.min("ts").alias("mn"), F.max("ts").alias("mx")
@@ -152,7 +211,7 @@ class IngestPipeline:
                              salt_buckets=self.salt_buckets)
                 .sortWithinPartitions("conv_id", "turn_idx")
                 .write.mode("overwrite")
-                # epoch_part first: overwriting THIS partition's output is
+                # epoch_part first: overwriting THIS sub-epoch's output is
                 # idempotent under retries and never touches other epochs.
                 .partitionBy("epoch_part", kind)
                 .parquet(path)
@@ -163,7 +222,7 @@ class IngestPipeline:
             # archival copy: logtype-clustered for min/max file skipping
             # + maximal ratio (GLT layout; BENCH/BASELINE.md)
             route.write_glt_layout(
-                enriched, f"{self.glt_root}/epoch_part={partition_id}",
+                enriched, f"{self.glt_root}/epoch_part={epoch_part}",
                 partitions=max(self.spark.sparkContext.defaultParallelism // 4, 1),
             )
 
@@ -177,6 +236,8 @@ class IngestPipeline:
         self._append_ledger(
             {
                 "partition_id": partition_id,
+                "sub_epoch": sub_epoch,
+                "n_subs": n_subs,
                 "n_rows": stats["n"],
                 "n_routed": n_routed,
                 "lt_dict_size": lt_n,
@@ -187,6 +248,66 @@ class IngestPipeline:
                 "input_max_ts": stats["mx"],
                 "finished_at": time.time(),
             }
+        )
+
+    # -- query-time pruning + search ----------------------------------------
+
+    def epochs_for_range(
+        self, ts_begin_ms: int | None = None, ts_end_ms: int | None = None
+    ) -> list[int]:
+        """Sink epoch_part values whose ledger [input_min_ts, input_max_ts]
+        overlaps the query range — CLP's scheduler prunes archives by time
+        range before dispatching any task
+        (job_orchestration/.../query_scheduler.py:369-397)."""
+        rows = self.ledger().select(
+            "partition_id", "sub_epoch",
+            F.unix_millis(F.col("input_min_ts").cast("timestamp")).alias("mn"),
+            F.unix_millis(F.col("input_max_ts").cast("timestamp")).alias("mx"),
+        ).collect()
+        out = []
+        for r in rows:
+            if ts_end_ms is not None and r["mn"] is not None and r["mn"] > ts_end_ms:
+                continue
+            if ts_begin_ms is not None and r["mx"] is not None and r["mx"] < ts_begin_ms:
+                continue
+            out.append(r["partition_id"] + r["sub_epoch"] * self.num_partitions)
+        return sorted(set(out))
+
+    def read_sink(
+        self, kind: str = "role", epochs: list[int] | None = None
+    ) -> DataFrame:
+        """Read a sink table; with ``epochs``, only those epoch_part
+        directories are LISTED (structural pruning — unselected epochs are
+        never dispatched, like the reference scheduler skipping archives)."""
+        base = f"{self.sinks_root}/by_{kind}"
+        if epochs is None:
+            return self.spark.read.parquet(base)
+        return self.spark.read.option("basePath", base).parquet(
+            *[f"{base}/epoch_part={e}" for e in epochs]
+        )
+
+    def search(
+        self,
+        query: str,
+        ts_begin_ms: int | None = None,
+        ts_end_ms: int | None = None,
+        kind: str = "role",
+        ignore_case: bool = False,
+        **kw,
+    ) -> DataFrame:
+        """Dictionary search over the routed sinks with ledger-driven
+        epoch pruning: the query's time range first selects epoch
+        directories via the ledger, then the encoded-domain search (with
+        the same ts predicate for row-level filtering) runs only there."""
+        from clp_core_spark.operators import search as search_op
+
+        epochs = self.epochs_for_range(ts_begin_ms, ts_end_ms)
+        df = self.read_sink(kind, epochs=epochs)
+        lt, vd = self._load_dict("logtype"), self._load_dict("var")
+        return search_op.search_text(
+            df, lt, vd, query, ["conv_id", "turn_idx"],
+            ignore_case=ignore_case,
+            ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms, **kw,
         )
 
     # -- metrics -------------------------------------------------------------

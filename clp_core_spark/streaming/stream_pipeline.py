@@ -73,20 +73,14 @@ class StreamingEncoder:
         self.sinks_root = f"{work_root}/sinks"
 
     def _load_dict(self, name: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(f"{self.dicts_path}/{name}")
-        except Exception:  # noqa: BLE001
-            return None
+        from clp_core_spark.plans import dictstore
+
+        return dictstore.load_dict(self.spark, self.dicts_path, name)
 
     def _save_dict(self, name: str, df: DataFrame) -> None:
-        import os
-        import shutil
+        from clp_core_spark.plans import dictstore
 
-        tmp = f"{self.dicts_path}/{name}_next"
-        df.write.mode("overwrite").parquet(tmp)
-        final = f"{self.dicts_path}/{name}"
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
+        dictstore.save_dict(self.dicts_path, name, df)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -79,6 +79,87 @@ def test_dict_ids_consistent_across_epochs(spark, input_df, work_root):
     assert check == 0
 
 
+def test_dict_budget_rollover(spark, input_df, work_root):
+    """A low dictionary budget must split a partition into sub-epochs —
+    CLP rolls a new archive when dictionaries exceed the target
+    (clp/clp/compression.cpp:137-140) — with one ledger row per sub-epoch
+    and decode equality across the boundary."""
+    from clp_core_spark.operators import encode_pipeline
+
+    pipe = IngestPipeline(spark, work_root, num_partitions=2, dict_budget=200)
+    pipe.run(input_df)
+    rows = pipe.ledger().collect()
+    per_part: dict[int, list] = {}
+    for r in rows:
+        per_part.setdefault(r["partition_id"], []).append(r)
+    assert any(len(v) > 1 for v in per_part.values()), "no split happened"
+    for v in per_part.values():
+        assert len(v) == v[0]["n_subs"]
+        assert sorted(r["sub_epoch"] for r in v) == list(range(len(v)))
+    assert sum(r["n_rows"] for r in rows) == input_df.count()
+    assert pipe.done_partitions() == {0, 1}
+
+    # decode equality across sub-epoch boundaries: IDs assigned in earlier
+    # sub-epochs must decode rows written in later ones
+    routed = spark.read.parquet(f"{work_root}/sinks/by_role")
+    lt = spark.read.parquet(f"{work_root}/dicts/logtype")
+    vd = spark.read.parquet(f"{work_root}/dicts/var")
+    dec = encode_pipeline.decode(routed, lt, vd, ["conv_id", "turn_idx"])
+    joined = dec.join(
+        input_df.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+    )
+    assert joined.where(F.col("decoded_text") != F.col("text")).count() == 0
+
+
+def test_ledger_time_pruned_search(spark, work_root):
+    """pipeline.search must consult the ledger's input_min/max_ts and list
+    only overlapping epoch directories (query_scheduler.py:369-397
+    archive pruning), while returning exactly the rows a full scan with
+    the same ts filter returns."""
+    from datetime import timezone
+
+    from clp_core_spark.functions.wildcard import wildcard_to_regex
+    from clp_core_spark.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, num_turns=3000, seed=7)
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(2)).cast("int")
+    # shift bucket-1 conversations 10 years out: epoch time ranges disjoint
+    shifted = t.withColumn(
+        "ts",
+        F.when(bucket == 1, F.col("ts") + F.expr("INTERVAL 3650 DAYS"))
+        .otherwise(F.col("ts")),
+    ).persist()
+    pipe = IngestPipeline(spark, work_root, num_partitions=2)
+    pipe.run(shifted)
+
+    p0 = [r for r in pipe.ledger().collect() if r["partition_id"] == 0][0]
+
+    def ms(dt):
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+    lo, hi = ms(p0["input_min_ts"]), ms(p0["input_max_ts"])
+    assert pipe.epochs_for_range(lo, hi) == [0]
+    assert pipe.epochs_for_range() == [0, 1]
+
+    pruned = pipe.read_sink("role", epochs=[0])
+    files = pruned.inputFiles()
+    assert files and all("epoch_part=0" in f for f in files)
+
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in pipe.search("heartbeat", ts_begin_ms=lo, ts_end_ms=hi).collect()
+    }
+    expected = {
+        (r["conv_id"], r["turn_idx"])
+        for r in shifted.filter(
+            F.col("text").rlike(wildcard_to_regex("*heartbeat*"))
+            & F.unix_millis("ts").between(lo, hi)
+        ).select("conv_id", "turn_idx").collect()
+    }
+    assert got == expected and len(got) > 0
+    shifted.unpersist()
+
+
 def test_routed_rows_match_input(spark, input_df, work_root):
     pipe = IngestPipeline(spark, work_root, num_partitions=2)
     pipe.run(input_df)

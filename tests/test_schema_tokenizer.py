@@ -106,3 +106,22 @@ def test_schema_encode_decode_roundtrip(spark, transcripts):
     dec = encode_pipeline.decode(enc, lt, vd, ["conv_id", "turn_idx"])
     bad = dec.where(~F.col("decoded_text").eqNullSafe(F.col("text"))).count()
     assert bad == 0
+
+
+def test_schema_roundtrip_with_nul_bytes(spark):
+    """NUL bytes must survive decode(encode(x)) byte-exactly — the batch
+    sentinel collision falls back to a per-row scan instead of rewriting
+    the input (the heuristic tokenizer already behaved this way)."""
+    spec = SchemaSpec(delimiters=" =", rules=[("int", r"-{0,1}[0-9]+")])
+    rows = [
+        ("c0", 0, "plain line v=42"),
+        ("c0", 1, "nul\x00inside v=7"),
+        ("c1", 0, "\x00leading and trailing\x00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    enc, lt, vd = encode_pipeline.encode(
+        df, key_cols=["conv_id", "turn_idx"], keep_text=True, schema_spec=spec
+    )
+    dec = encode_pipeline.decode(enc, lt, vd, ["conv_id", "turn_idx"])
+    bad = dec.where(~F.col("decoded_text").eqNullSafe(F.col("text"))).count()
+    assert bad == 0

@@ -51,8 +51,17 @@ def test_decompress_to_text_sink(spark, tmp_path):
     t = generate_transcripts(spark, num_turns=500, seed=42)
     enc, lt, vd = encode_pipeline.encode(t, key_cols=["conv_id", "turn_idx"])
     out = str(tmp_path / "text_out")
-    sinks.decompress_to_text(enc, lt, vd, out)
-    back = [r["value"] for r in spark.read.text(out).collect()]
+    sinks.decompress_to_text(enc, lt, vd, out, partitions=8)
+    # range-partitioned parallel write: global order = part files in
+    # filename order x line order within each file
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*"))
+    assert len(files) > 1, "expected a multi-file parallel write"
+    back: list[str] = []
+    for f in files:
+        with open(f) as fh:
+            back.extend(fh.read().splitlines())
     # multiline turns split into several text lines on write; compare the
     # full concatenation instead of row counts
     want_rows = (
