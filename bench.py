@@ -117,12 +117,16 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "clp_search_token",
         "clp_search_int",
         "clp_search_midstar",
+        "clp_search_broad_dictvar",
         "clp_logtype_counts",
         "clp_sink_counts_events",
         "agg_count_by_time",
         "agg_topk_latest",
         "join_enrich_nation",
         "dedup_exact_docs",
+        "dedup_minhash_lsh",
+        "clps_clpstring_search",
+        "clp_rawtext_roundtrip",
     ]
     qs = entry.queries()
     out = {}

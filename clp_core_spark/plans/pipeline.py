@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clp_core_spark.operators import dictionaries, encode_pipeline, enrich, route
 from clp_core_spark.plans import dictstore
+from clp_core_spark.plans.tablestore import TableStore
 from clp_core_spark.sources import transcripts
 
 LEDGER_SCHEMA = (
@@ -54,6 +55,7 @@ class IngestPipeline:
         var_id_mode: str = "hash",
         write_glt: bool = False,
         dict_budget: int | None = None,
+        table_mode: str = "auto",
     ):
         """``var_id_mode='dense'`` + ``write_glt=True`` is the archival
         configuration: dense dictionary IDs and a logtype-clustered copy
@@ -65,7 +67,13 @@ class IngestPipeline:
         the budget is split into deterministic sub-epochs, each with its
         own ledger row and dictionary snapshot — the analog of CLP rolling
         a new archive when dictionaries exceed the target size
-        (clp/clp/compression.cpp:137-140)."""
+        (clp/clp/compression.cpp:137-140).
+
+        ``table_mode``: sink tables write/read through
+        plans.tablestore.TableStore — Iceberg when its runtime is on the
+        classpath ("auto"/"iceberg"), partitioned parquet otherwise; the
+        partition-overwrite and pruning contract is identical either way
+        (SURVEY §1.5 archive->partition mapping)."""
         self.spark = spark
         self.work_root = work_root
         self.num_partitions = num_partitions
@@ -77,6 +85,7 @@ class IngestPipeline:
         self.dicts_path = f"{work_root}/dicts"
         self.sinks_root = f"{work_root}/sinks"
         self.glt_root = f"{work_root}/glt"
+        self.store = TableStore(spark, self.sinks_root, mode=table_mode)
 
     # -- ledger ------------------------------------------------------------
 
@@ -204,17 +213,16 @@ class IngestPipeline:
 
         n_routed = 0
         for kind in route.SINK_KINDS:
-            path = f"{self.sinks_root}/by_{kind}"
             out = enriched.withColumn(kind, F.coalesce(F.col(kind), F.lit("__null__")))
-            (
-                route.salted(out, self.spark.sparkContext.defaultParallelism, kind,
-                             salt_buckets=self.salt_buckets)
-                .sortWithinPartitions("conv_id", "turn_idx")
-                .write.mode("overwrite")
-                # epoch_part first: overwriting THIS sub-epoch's output is
-                # idempotent under retries and never touches other epochs.
-                .partitionBy("epoch_part", kind)
-                .parquet(path)
+            clustered = route.salted(
+                out, self.spark.sparkContext.defaultParallelism, kind,
+                salt_buckets=self.salt_buckets,
+            ).sortWithinPartitions("conv_id", "turn_idx")
+            # epoch_part first: overwriting THIS sub-epoch's output is
+            # idempotent under retries and never touches other epochs
+            # (Iceberg overwritePartitions / parquet dynamic overwrite).
+            self.store.overwrite_partitions(
+                clustered, f"by_{kind}", ["epoch_part", kind]
             )
         n_routed = enriched.count() * len(route.SINK_KINDS)
 
@@ -277,14 +285,11 @@ class IngestPipeline:
         self, kind: str = "role", epochs: list[int] | None = None
     ) -> DataFrame:
         """Read a sink table; with ``epochs``, only those epoch_part
-        directories are LISTED (structural pruning — unselected epochs are
-        never dispatched, like the reference scheduler skipping archives)."""
-        base = f"{self.sinks_root}/by_{kind}"
-        if epochs is None:
-            return self.spark.read.parquet(base)
-        return self.spark.read.option("basePath", base).parquet(
-            *[f"{base}/epoch_part={e}" for e in epochs]
-        )
+        partitions are scanned (parquet: the directories are never even
+        LISTED; Iceberg: manifest pruning) — unselected epochs are never
+        dispatched, like the reference scheduler skipping archives."""
+        pf = {"epoch_part": epochs} if epochs is not None else None
+        return self.store.read(f"by_{kind}", partition_filter=pf)
 
     def search(
         self,
