@@ -474,6 +474,32 @@ def _q_clps_typed_search(spark, sf_dir):
     ).select("event_id")
 
 
+def _q_clps_structured_array(spark, sf_dir):
+    """clp_s --structurize-arrays analog (SchemaTree.hpp:27-40
+    StructuredArray; golden behavior test-clp_s-search.cpp:182): a field
+    holding EITHER an array of objects (even ids) OR a single object (odd
+    ids) becomes one array<struct> column, and ``arr.b > 100`` matches a
+    record when any element matches — across both shapes."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id").cast("string")
+    b = F.floor("value").cast("long").cast("string")
+    js = F.concat(
+        F.lit('{"arr": '),
+        F.when(
+            F.pmod("event_id", F.lit(2)) == 0,
+            F.concat(F.lit('[{"a": '), a, F.lit('}, {"b": '), b, F.lit("}]")),
+        ).otherwise(
+            F.concat(F.lit('{"a": '), a, F.lit(', "b": '), b, F.lit("}"))
+        ),
+        F.lit("}"),
+    )
+    recs = ev.select("event_id", js.alias("js"))
+    enc, _, _ = semistructured.encode_semistructured(
+        recs, "js", key_cols=["event_id"], structurize_arrays=True
+    )
+    return kql.kql_filter(enc, "arr.b > 100").select("event_id")
+
+
 def _q_kql_bool(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return kql.kql_filter(ev, "event_type: error AND value > 100").select("event_id")
@@ -654,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clps_schema_counts": _q_clps_schema_counts,
         "clps_typed_search": _q_clps_typed_search,
         "clps_clpstring_search": _q_clps_clpstring_search,
+        "clps_structured_array": _q_clps_structured_array,
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
         "kql_date_range": _q_kql_date_range,
@@ -816,6 +843,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM events"
             " WHERE ('evt num ' || CAST(event_id AS VARCHAR))"
             " LIKE '%num 12%' AND event_type = 'error'"
+        ),
+        # arr.b is floor(value) regardless of array-vs-object shape, so the
+        # exists-over-elements query reduces to a direct predicate
+        "clps_structured_array": (
+            "SELECT event_id FROM events WHERE floor(value) > 100"
         ),
         "kql_bool_range": (
             "SELECT event_id FROM events"

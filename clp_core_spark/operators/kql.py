@@ -215,6 +215,39 @@ class KqlCompiler:
     def _field(self, prefix: str, name: str) -> Column:
         return F.col(prefix + name if prefix else name)
 
+    def _pred_on_path(self, prefix: str, name: str, leaf_pred) -> Column:
+        """Apply ``leaf_pred`` (Column -> Column) at a dotted path. When
+        the path crosses an ``array<struct>`` column (a structurized array,
+        semistructured.T_SARRAY), the predicate becomes ``exists`` over the
+        elements — clp_s structurize_arrays semantics: a record matches if
+        ANY element matches (tests/test-clp_s-search.cpp:182)."""
+        from pyspark.sql.types import ArrayType, StructType
+
+        full = prefix + name if prefix else name
+        parts = full.split(".")
+        cur: object = self.df.schema
+        for i, p in enumerate(parts):
+            if not isinstance(cur, StructType) or p not in cur.fieldNames():
+                break
+            dt = cur[p].dataType
+            if (
+                isinstance(dt, ArrayType)
+                and isinstance(dt.elementType, StructType)
+                and i < len(parts) - 1
+            ):
+                rest = parts[i + 1 :]
+                arr = F.col(".".join(parts[: i + 1]))
+
+                def _elem_pred(e: Column) -> Column:
+                    c = e
+                    for seg in rest:
+                        c = c[seg]
+                    return leaf_pred(c)
+
+                return F.exists(arr, _elem_pred)
+            cur = dt
+        return leaf_pred(F.col(full))
+
     # grammar --------------------------------------------------------------
 
     def _query(self, prefix: str) -> Column:
@@ -269,7 +302,9 @@ class KqlCompiler:
             if after is not None and after.text == "(":
                 return self._value_list(prefix, name)
             val = self._next()
-            return self._match(self._field(prefix, name), val)
+            return self._pred_on_path(
+                prefix, name, lambda c: self._match(c, val)
+            )
         # bare value: match any string column (default-column search)
         return self._any_column_match(t)
 
@@ -287,7 +322,10 @@ class KqlCompiler:
             if t.kind == "punct" and t.text == ")":
                 self._next()
                 break
-            parts.append(self._match(self._field(prefix, name), self._next()))
+            val = self._next()
+            parts.append(
+                self._pred_on_path(prefix, name, lambda c, v=val: self._match(c, v))
+            )
         if not parts:
             return F.lit(False)
         out = parts[0]
@@ -301,9 +339,12 @@ class KqlCompiler:
         return ~out if mode == "not" else out
 
     def _range(self, prefix: str, name: str, op: str, val: Tok) -> Column:
-        c = self._field(prefix, name)
         v = self._literal_value(val)
-        return {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+
+        def leaf(c: Column) -> Column:
+            return {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+
+        return self._pred_on_path(prefix, name, leaf)
 
     def _literal_value(self, t: Tok):
         if t.kind == "date":

@@ -67,14 +67,20 @@ def image_stats(
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means, stds = [], [], []
-            for _, row in pdf.iterrows():
+            # zipped numpy column iteration: decode is per-image by nature
+            # (variable-size payloads / real codecs), but row access isn't —
+            # iterrows built a pandas Series per row
+            for i, buf, w, h, c in zip(
+                pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy(),
+                pdf[w_col].to_numpy(), pdf[h_col].to_numpy(),
+                pdf[c_col].to_numpy(),
+            ):
                 px = decode_image(
-                    bytes(row[bytes_col]), int(row[w_col]), int(row[h_col]),
-                    int(row[c_col]), fake=fake_decode,
+                    bytes(buf), int(w), int(h), int(c), fake=fake_decode
                 ).astype(np.float64)
-                ids.append(int(row[id_col]))
-                means.append([float(x) for x in px.mean(axis=(0, 1))])
-                stds.append([float(x) for x in px.std(axis=(0, 1))])
+                ids.append(int(i))
+                means.append(px.mean(axis=(0, 1)).astype(np.float32).tolist())
+                stds.append(px.std(axis=(0, 1)).astype(np.float32).tolist())
             yield pd.DataFrame({id_col: ids, "mean": means, "std": stds})
 
     return df.mapInPandas(_kernel, schema=out_schema)
@@ -96,16 +102,17 @@ def image_resize_features(
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
-            for _, row in pdf.iterrows():
-                px = decode_image(
-                    bytes(row[bytes_col]), int(row[w_col]), int(row[h_col]),
-                    int(row[c_col]), fake=fake_decode,
-                )
+            for i, buf, w, h, c in zip(
+                pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy(),
+                pdf[w_col].to_numpy(), pdf[h_col].to_numpy(),
+                pdf[c_col].to_numpy(),
+            ):
+                px = decode_image(bytes(buf), int(w), int(h), int(c), fake=fake_decode)
                 ys = (np.arange(th) * px.shape[0] // th).astype(int)
                 xs = (np.arange(tw) * px.shape[1] // tw).astype(int)
                 small = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
-                ids.append(int(row[id_col]))
-                feats.append([float(x) for x in small.ravel()])
+                ids.append(int(i))
+                feats.append(small.ravel().tolist())
             yield pd.DataFrame({id_col: ids, "feature": feats})
 
     return df.mapInPandas(_kernel, schema=f"{id_col} long, feature array<float>")

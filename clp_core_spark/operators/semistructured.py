@@ -44,6 +44,7 @@ T_BOOLEAN = "Boolean"
 T_CLPSTRING = "ClpString"
 T_VARSTRING = "VarString"
 T_ARRAY = "UnstructuredArray"
+T_SARRAY = "StructuredArray"
 T_OBJECT = "Object"
 
 
@@ -93,6 +94,8 @@ def encode_semistructured(
     json_col: str,
     key_cols: list[str],
     schema: StructType | None = None,
+    structurize_arrays: bool = False,
+    infer_sample_rows: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Parse ``json_col`` into typed leaf columns + a dense ``schema_id``.
 
@@ -108,10 +111,18 @@ def encode_semistructured(
       column is ClpString iff any value contains a space.
     - ``schema_map``: (schema_key, schema_id, n_records) — distinct
       present-leaf sets, dense IDs (clp_s/SchemaMap.cpp:8-15).
-    """
+
+    ``structurize_arrays=True`` is the clp_s ``--structurize-arrays``
+    analog (clp_s/SchemaTree.hpp:27-40 StructuredArray): leaves whose
+    values are JSON objects or arrays-of-objects (Spark inference widens
+    the mixed case to a JSON-text string) become ``array<struct>``
+    columns — single objects wrapped as one-element arrays — so a dotted
+    query like ``arr.b > 1000`` matches a record when ANY element
+    matches, across both shapes (golden behavior:
+    tests/test-clp_s-search.cpp:182, results {7, 8})."""
     spark = df.sparkSession
     if schema is None:
-        schema = infer_json_schema(df, json_col)
+        schema = infer_json_schema(df, json_col, sample_rows=infer_sample_rows)
 
     parsed = df.withColumn("_j", F.from_json(F.col(json_col), schema))
     leaves = _leaf_paths(schema)
@@ -124,22 +135,87 @@ def encode_semistructured(
         flat_cols.append(col.alias(name))
     flat = parsed.select(*key_cols, *flat_cols)
 
-    # Column-level ClpString/VarString decision + presence counts, one pass.
+    # Column-level ClpString/VarString decision + presence counts + (in
+    # structurize mode) container detection, one pass.
     aggs = []
     for path, dtype in leaves:
         name = path.replace(".", "__")
         aggs.append(F.count(F.col(name)).alias(f"n_{name}"))
-        if isinstance(dtype, StringType):
+        if isinstance(dtype, (StringType, ArrayType)):
             aggs.append(
-                F.max(F.col(name).contains(" ")).alias(f"sp_{name}")
+                F.max(F.col(name).cast("string").contains(" ")).alias(f"sp_{name}")
+            )
+        if structurize_arrays and isinstance(dtype, (StringType, ArrayType)):
+            # all non-null values are JSON containers ({...} or [...])?
+            aggs.append(
+                F.max(
+                    F.when(~F.col(name).cast("string").rlike(r"^[\[{]"), 1)
+                    .otherwise(0)
+                ).alias(f"nj_{name}")
             )
     stats = flat.agg(*aggs).collect()[0]
+
+    # Structurize qualifying container columns: wrap single objects into
+    # 1-element arrays, infer the element struct from a bounded sample,
+    # re-parse as array<struct>.
+    structurized: dict[str, StructType] = {}
+    if structurize_arrays:
+        for path, dtype in leaves:
+            name = path.replace(".", "__")
+            if not isinstance(dtype, (StringType, ArrayType)):
+                continue
+            if int(stats[f"n_{name}"]) == 0 or stats[f"nj_{name}"] != 0:
+                continue
+            wrapped = F.when(
+                F.col(name).cast("string").startswith("["), F.col(name).cast("string")
+            ).otherwise(F.concat(F.lit("["), F.col(name).cast("string"), F.lit("]")))
+            sample = flat.select(wrapped.alias("w")).where(F.col("w").isNotNull())
+            if infer_sample_rows is not None:
+                sample = sample.limit(infer_sample_rows)
+            # a JSON-lines read of '[{...},{...}]' yields one record per
+            # element, so this infers the ELEMENT schema directly
+            elem_schema = spark.read.json(sample.rdd.map(lambda r: r[0])).schema
+            if not (isinstance(elem_schema, StructType) and elem_schema.fields):
+                continue  # array of scalars: stays UnstructuredArray
+            flat = flat.withColumn(
+                name, F.from_json(wrapped, ArrayType(elem_schema))
+            )
+            structurized[name] = elem_schema
 
     tree_rows = []
     for path, dtype in leaves:
         name = path.replace(".", "__")
-        has_space = bool(stats[f"sp_{name}"]) if isinstance(dtype, StringType) else False
+        if name in structurized:
+            tree_rows.append((path, T_SARRAY, int(stats[f"n_{name}"])))
+            continue
+        has_space = (
+            bool(stats[f"sp_{name}"])
+            if isinstance(dtype, StringType)
+            else False
+        )
         tree_rows.append((path, _node_type(dtype, has_space), int(stats[f"n_{name}"])))
+    if structurized:
+        # child presence per structured-array element field (one agg pass)
+        def _has_field(fname):
+            return lambda e: e[fname].isNotNull()
+
+        child_aggs = [
+            F.sum(
+                F.when(F.exists(F.col(name), _has_field(f.name)), 1).otherwise(0)
+            ).alias(f"ch_{name}__{f.name}")
+            for name, elem in structurized.items()
+            for f in elem.fields
+        ]
+        child_stats = flat.agg(*child_aggs).collect()[0]
+        for name, elem in structurized.items():
+            for f in elem.fields:
+                tree_rows.append(
+                    (
+                        f"{name.replace('__', '.')}.{f.name}",
+                        _node_type(f.dataType, False),
+                        int(child_stats[f"ch_{name}__{f.name}"] or 0),
+                    )
+                )
     schema_tree = spark.createDataFrame(
         tree_rows, "path string, node_type string, n_present long"
     )

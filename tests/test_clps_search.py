@@ -22,8 +22,9 @@ RECORDS = [
 ]
 
 # (kql query, expected idx set) — test-clp_s-search.cpp:171-182. The
-# reference itself skips the Msg 4 query (CLP generates no subqueries);
-# arr.b > 1000 needs structurize_arrays and is exercised separately.
+# reference itself skips the Msg 4 query (CLP generates no subqueries).
+# arr.b > 1000 must hit BOTH the array-of-objects record (7) and the
+# plain-object record (8) — structurize_arrays semantics.
 GOLDEN = [
     (r"NOT a: b", {0}),
     (r'msg: "Msg 1: \"Abc123\""', {1}),
@@ -32,6 +33,7 @@ GOLDEN = [
     (r'msg: "Msg 5: \rAbc123"', {5}),
     (r'msg: "Msg 6: \tAbc123"', {6}),
     (r'msg: "*Abc123*"', {1, 2, 3, 5, 6}),
+    (r"arr.b > 1000", {7, 8}),
 ]
 
 
@@ -41,7 +43,7 @@ def corpus(spark):
         [(i, r) for i, r in enumerate(RECORDS)], "rid long, js string"
     )
     enc, tree, smap = semistructured.encode_semistructured(
-        df, "js", key_cols=["rid"]
+        df, "js", key_cols=["rid"], structurize_arrays=True
     )
     clp_cols = [
         r["path"]
@@ -69,6 +71,11 @@ def test_raw_clpstring_columns_are_dropped(corpus):
         assert c not in enc2.columns, f"raw ClpString column {c} retained"
         assert f"{c}__logtype_id" in enc2.columns
         assert f"{c}__encoded_vars" in enc2.columns
+
+
+def test_structurized_array_in_tree(corpus):
+    enc2, _ = corpus
+    assert dict(enc2.dtypes)["arr"].startswith("array<struct")
 
 
 def test_or_chain_unions(corpus):
