@@ -78,6 +78,7 @@ def write_glt_layout(
     path: str,
     partitions: int = 32,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    combine_threshold: float | None = None,
 ) -> None:
     """GLT's logtype-grouped storage (glt/streaming_archive/writer/
     LogtypeTable.hpp:13-80): range-partition + sort rows by logtype_id so
@@ -85,9 +86,29 @@ def write_glt_layout(
     ``logtype_id IN (...)`` predicate then skips whole files via min/max
     stats — the Spark-native form of CLP's dictionary segment index
     (logtype.segindex, clp/streaming_archive/Constants.hpp:7-15;
-    pruning clp/Query.cpp:123-138)."""
+    pruning clp/Query.cpp:123-138).
+
+    ``combine_threshold`` (fraction of total rows, e.g. 0.001) is GLT's
+    combined-table rule (glt/glt/CommandLineArguments.hpp:38,69,111):
+    logtypes below the threshold share a single "combined" cluster key so
+    rare templates pack together instead of fragmenting the range
+    partitioner — big logtypes keep dedicated file ranges either way."""
+    cluster = F.col("logtype_id")
+    if combine_threshold is not None:
+        counts = encoded.groupBy("logtype_id").agg(F.count("*").alias("_n"))
+        rows = counts.collect()  # bounded by logtype-dict size
+        total = sum(r["_n"] for r in rows)
+        big = [int(r["logtype_id"]) for r in rows
+               if r["_n"] >= total * combine_threshold]
+        # combined rows take cluster key -1: they range-sort below every
+        # real logtype ID and share the low partition(s)
+        cluster = F.when(
+            F.col("logtype_id").isin(big), F.col("logtype_id")
+        ).otherwise(F.lit(-1)).alias("_glt_cluster")
     (
-        encoded.repartitionByRange(partitions, F.col("logtype_id"))
+        # secondary range key: a hot (or combined) cluster can span several
+        # consecutive partitions without interleaving other logtypes
+        encoded.repartitionByRange(partitions, cluster, F.col(order_cols[0]))
         .sortWithinPartitions("logtype_id", *order_cols)
         .write.mode("overwrite")
         .parquet(path)

@@ -232,6 +232,7 @@ class IngestPipeline:
             route.write_glt_layout(
                 enriched, f"{self.glt_root}/epoch_part={epoch_part}",
                 partitions=max(self.spark.sparkContext.defaultParallelism // 4, 1),
+                combine_threshold=0.001,  # GLT's 0.1% combined-table default
             )
 
         self._save_dict("logtype", lt_dict)

@@ -42,3 +42,39 @@ def test_glt_roundtrip_and_pruning(spark, transcripts, tmp_path):
         .select("_f").distinct().count()
     )
     assert n_files_hit <= 2, f"logtype not clustered: {n_files_hit} files"
+
+
+def test_glt_combine_threshold(spark, transcripts, tmp_path):
+    """GLT's combined-table rule: logtypes below the row-share threshold
+    pack into a shared cluster (glt/glt/CommandLineArguments.hpp:38,69,111)
+    instead of fragmenting the range partitioner; hot logtypes keep
+    dedicated file ranges."""
+    enc, lt, vd = encode_pipeline.encode(
+        transcripts, key_cols=["conv_id", "turn_idx"]
+    )
+    path = str(tmp_path / "glt_combined")
+    route.write_glt_layout(enc, path, partitions=8, combine_threshold=0.05)
+
+    back = spark.read.parquet(path)
+    assert back.count() == enc.count()
+
+    counts = enc.groupBy("logtype_id").count().collect()
+    total = sum(r["count"] for r in counts)
+    small_ids = [r["logtype_id"] for r in counts if r["count"] < total * 0.05]
+    big_ids = [r["logtype_id"] for r in counts if r["count"] >= total * 0.05]
+    assert small_ids and big_ids, "corpus must have both classes"
+
+    with_file = back.withColumn("_f", F.input_file_name())
+    # ALL small logtypes together share a couple of combined files
+    n_small_files = (
+        with_file.filter(F.col("logtype_id").isin(small_ids))
+        .select("_f").distinct().count()
+    )
+    assert n_small_files <= 2, f"combined table fragmented: {n_small_files}"
+    # a hot logtype still clusters into a narrow file range
+    hot = max(counts, key=lambda r: r["count"])["logtype_id"]
+    n_hot_files = (
+        with_file.filter(F.col("logtype_id") == hot)
+        .select("_f").distinct().count()
+    )
+    assert n_hot_files <= 3
