@@ -113,17 +113,7 @@ def _lsh_topk_oracle_sql(dim: int = 64, num_planes: int = 8,
     sign-bit packing, and the multiprobe set {qsig} U 1..2-bit flips is
     exactly bit_count(xor(s, qsig)) <= multiprobe_bits — an oracle of the
     *approximate* algorithm itself, not just of brute-force top-k."""
-    from clp_core_spark.operators.similarity import _hyperplane
-
-    planes = [
-        "[" + ", ".join(repr(c) for c in _hyperplane(dim, i)) + "]::DOUBLE[]"
-        for i in range(num_planes)
-    ]
-    sig_expr = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[i]}) >= 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i in range(num_planes)
-    )
+    sig_expr = _plane_sig_sql(dim, num_planes)
     return (
         f"WITH sig AS (SELECT vec_id, embedding, ({sig_expr}) AS s"
         " FROM embeddings),"
@@ -134,6 +124,41 @@ def _lsh_topk_oracle_sql(dim: int = 64, num_planes: int = 8,
         f" WHERE bit_count(xor(sig.s::BIGINT, q.qs::BIGINT))"
         f" <= {multiprobe_bits}"
         f" ORDER BY cosine_sim DESC, vec_id LIMIT {k}"
+    )
+
+
+def _plane_sig_sql(dim: int, num_planes: int) -> str:
+    """Hyperplane-signature SQL fragment with the deterministic planes
+    inlined as DOUBLE literals (shared by the LSH-family oracles)."""
+    from clp_core_spark.operators.similarity import _hyperplane
+
+    planes = [
+        "[" + ", ".join(repr(c) for c in _hyperplane(dim, i)) + "]::DOUBLE[]"
+        for i in range(num_planes)
+    ]
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {planes[i]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(num_planes)
+    )
+
+
+def _cosine_pairs_oracle_sql(dim: int = 64, num_planes: int = 16,
+                             max_hamming: int = 4,
+                             threshold: float = 0.4) -> str:
+    """DuckDB twin of similarity.cosine_near_pairs: all-pairs with the
+    same inlined hyperplane signatures, Hamming cutoff, cosine verify —
+    an exact oracle of the approximate algorithm."""
+    return (
+        f"WITH sig AS (SELECT vec_id, embedding,"
+        f" ({_plane_sig_sql(dim, num_planes)}) AS s FROM embeddings)"
+        " SELECT id_a, id_b, c AS cosine_sim FROM ("
+        " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " round(list_cosine_similarity(a.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[]), 6) AS c"
+        " FROM sig a JOIN sig b ON a.vec_id < b.vec_id"
+        f" WHERE bit_count(xor(a.s::BIGINT, b.s::BIGINT)) <= {max_hamming}"
+        f") WHERE c >= {threshold}"
     )
 
 
@@ -374,6 +399,16 @@ def _q_sim_bruteforce(spark, sf_dir):
 def _q_sim_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-signature Hamming
+    blocking (pigeonhole chunks — linear shuffle, never all-pairs) +
+    exact-cosine verify on candidates. The oracle reimplements the
+    signature + cutoff in SQL, so the approximate semantics are checked
+    exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(e, threshold=0.4)
 
 
 def _q_quality(spark, sf_dir):
@@ -672,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_topk": _q_sim_lsh,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "text_quality_scores": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -790,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly the true near-dup pair set.
         "dedup_simhash": f"SELECT id_a, id_b FROM ({_JACCARD_SQL})",
         "sim_lsh_topk": _lsh_topk_oracle_sql(),
+        "dedup_embedding_cosine": _cosine_pairs_oracle_sql(),
         "sim_bruteforce_topk": (
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],"
             " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id=0)), 6)"

@@ -86,6 +86,74 @@ def hyperplane_signature(vec_col: Column, dim: int, num_planes: int = 16) -> Col
     return sig
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    max_hamming: int = 4,
+    chunks: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine(a, b) >= ``threshold``,
+    with candidate generation by hyperplane-signature Hamming blocking
+    (pigeonhole over ``chunks`` signature chunks guarantees recall up to
+    ``max_hamming`` differing sign bits) and exact cosine verification on
+    candidates only. Returns (id_a, id_b, cosine_sim), id_a < id_b.
+
+    Random-hyperplane LSH bounds the collision angle: P[sign differs per
+    plane] = angle/pi, so high-cosine pairs differ in few sign bits and a
+    Hamming cutoff is a recall-complete pre-filter at the near-dup margin
+    (same blocking shape as dedup.simhash_near_pairs — linear shuffle of
+    (chunk, id), never all-pairs)."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    dim = len(df.select(vec_col).first()[0])
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_signature(F.col(vec_col), dim, num_planes).alias("_sig"),
+    )
+    width = -(-num_planes // chunks)  # ceil: chunk i covers bits [i*w, ...)
+    chunked = sig.select(
+        "_id", "_v", "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sig"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_chunk_ix", "_chunk"),
+    )
+    # shared exchange for both self-join sides (see dedup.minhash_lsh_pairs)
+    chunked = chunked.repartition(F.col("_chunk_ix"), F.col("_chunk"))
+    left, right = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._chunk_ix") == F.col("r._chunk_ix"))
+            & (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"), F.col("r._sig").alias("sig_b"),
+            F.col("l._v").alias("v_a"), F.col("r._v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham_ok = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
+    scored = cand.filter(ham_ok).withColumn(
+        "cosine_sim", F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 6)
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold).select(
+        "id_a", "id_b", "cosine_sim"
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

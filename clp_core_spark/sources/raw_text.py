@@ -185,16 +185,65 @@ def split_messages_df(files: DataFrame, path_col: str = "path",
     )
 
 
+def _decompress(name: str, raw: bytes) -> bytes:
+    """Transparent codec support for compressed log files (CLP's
+    compressed-input path, clp/clp/FileCompressor.cpp + libarchive):
+    gzip/bzip2/xz via the stdlib, zstd via pyarrow's bundled codec."""
+    low = name.lower()
+    if low.endswith(".gz") or low.endswith(".gzip"):
+        import gzip
+
+        return gzip.decompress(raw)
+    if low.endswith(".bz2"):
+        import bz2
+
+        return bz2.decompress(raw)
+    if low.endswith((".xz", ".lzma")):
+        import lzma
+
+        return lzma.decompress(raw)
+    if low.endswith(".zst") or low.endswith(".zstd"):
+        import pyarrow as pa
+
+        return pa.Codec("zstd").decompress(raw).to_pybytes()
+    return raw
+
+
+def _expand_file(path: str, raw: bytes) -> list[tuple[str, str]]:
+    """One input file -> [(logical path, text)]. Tar archives (incl.
+    .tar.gz/.tgz) expand to one logical file per member, addressed as
+    ``archive!member`` — each member keeps its own message ordering."""
+    low = path.lower()
+    if low.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz")):
+        import io
+        import tarfile
+
+        out: list[tuple[str, str]] = []
+        with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                data = tf.extractfile(m).read()
+                out.append((f"{path}!{m.name}", data.decode("utf-8", errors="replace")))
+        return out
+    body = _decompress(path, raw)
+    return [(path, body.decode("utf-8", errors="replace"))]
+
+
 def read_log_files(spark: SparkSession, path: str) -> DataFrame:
-    """Directory/glob of raw log files -> message DataFrame."""
+    """Directory/glob of raw log files -> message DataFrame. Plain text,
+    gzip/bzip2/xz/zstd-compressed files, and tar archives all accepted;
+    the file (or archive member) stays the parallelism unit."""
     files = spark.read.format("binaryFile").load(path)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            contents = [
-                bytes(b).decode("utf-8", errors="replace")
-                for b in pdf["content"]
-            ]
-            yield _messages_frame(list(pdf["path"]), contents)
+            paths: list[str] = []
+            contents: list[str] = []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                for logical, text in _expand_file(p, bytes(b)):
+                    paths.append(logical)
+                    contents.append(text)
+            yield _messages_frame(paths, contents)
 
     return files.select("path", "content").mapInPandas(_kernel, schema=MESSAGE_SCHEMA)

