@@ -59,6 +59,12 @@ PARSED_SCHEMA_SLIM = StructType(
 # for genuinely small dictionaries only.
 BROADCAST_VAR_DICT_MAX = 200_000
 
+# Middle tier for the join-based resolve: up to this many entries the dict
+# rides a JVM-side broadcast hash join (~tens of MB serialized), so the
+# exploded corpus-vars relation never shuffles — the shuffle-everything
+# path is only for dictionaries too big to broadcast at all.
+BROADCAST_JOIN_DICT_MAX = 5_000_000
+
 
 @pandas_udf(PARSED_SCHEMA)
 def _parse_udf(texts: pd.Series) -> pd.DataFrame:
@@ -151,12 +157,20 @@ def resolve_dict_ids(
 
         resolved = parsed.withColumn("dict_ids", _lookup(F.col("dict_strs")))
     else:
-        # Shuffle strategy: explode dict vars with position, equi-join the
-        # dict table on the string, regroup ordered by position.
+        # Join strategy: explode dict vars with position, equi-join the
+        # dict table on the string, regroup ordered by position. Up to
+        # BROADCAST_JOIN_DICT_MAX entries the dict side is broadcast
+        # (JVM-side, no Python pickling) so the huge exploded relation
+        # never shuffles for the join; only the regroup shuffles, on keys.
         ex = parsed.select(
             *key_cols, F.posexplode("dict_strs").alias("_pos", "var_str")
         )
-        joined = ex.join(var_dict, "var_str", "left")
+        dict_side = (
+            F.broadcast(var_dict)
+            if var_dict_count <= BROADCAST_JOIN_DICT_MAX
+            else var_dict
+        )
+        joined = ex.join(dict_side, "var_str", "left")
         regrouped = joined.groupBy(*key_cols).agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "var_id"))),
@@ -289,7 +303,12 @@ def decode(
         df = df.withColumn("dict_strs", _ids_to_strs(F.col("_dict_ids")))
     else:
         ex = df.select(*key_cols, F.posexplode("_dict_ids").alias("_pos", "var_id"))
-        joined = ex.join(var_dict, "var_id", "left")
+        dict_side = (
+            F.broadcast(var_dict)
+            if var_count <= BROADCAST_JOIN_DICT_MAX
+            else var_dict
+        )
+        joined = ex.join(dict_side, "var_id", "left")
         regrouped = joined.groupBy(*key_cols).agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "var_str"))),
