@@ -143,6 +143,37 @@ def _plane_sig_sql(dim: int, num_planes: int) -> str:
     )
 
 
+def _ivf_topk_oracle_sql(dim: int = 64, nlist: int = 16, nprobe: int = 4,
+                         k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_topk: centroid literals inlined,
+    cell = list_position(d, list_max(d)) (first-index ties, same as
+    Spark's array_position), probe cells = top-nprobe by (dot desc,
+    cell asc)."""
+    from clp_core_spark.operators.similarity import ivf_centroids
+
+    dlits = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in c)
+        + "]::DOUBLE[])"
+        for c in ivf_centroids(dim, nlist)
+    )
+    return (
+        f"WITH cells AS (SELECT vec_id, embedding, list_value({dlits}) AS d"
+        " FROM embeddings),"
+        " a AS (SELECT vec_id, embedding,"
+        " list_position(d, list_max(d)) AS cell FROM cells),"
+        " probe AS (SELECT ord AS cell FROM ("
+        " SELECT unnest(d) AS v, generate_subscripts(d, 1) AS ord"
+        " FROM (SELECT d FROM cells WHERE vec_id = 0))"
+        f" ORDER BY v DESC, ord LIMIT {nprobe})"
+        " SELECT vec_id, round(list_cosine_similarity("
+        "a.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine_sim"
+        " FROM a, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q"
+        " WHERE a.cell IN (SELECT cell FROM probe)"
+        f" ORDER BY cosine_sim DESC, vec_id LIMIT {k}"
+    )
+
+
 def _cosine_pairs_oracle_sql(dim: int = 64, num_planes: int = 16,
                              max_hamming: int = 4,
                              threshold: float = 0.4) -> str:
@@ -399,6 +430,15 @@ def _q_sim_bruteforce(spark, sf_dir):
 def _q_sim_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_sim_ivf(spark, sf_dir):
+    """IVF-flat ANN (the second scale path besides LSH): rows bucket to
+    their nearest deterministic coarse centroid; the query scans only the
+    nprobe best cells. The oracle reproduces the centroid assignment and
+    probe-cell ranking in SQL with inlined centroid literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
@@ -707,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_topk": _q_sim_lsh,
+        "sim_ivf_topk": _q_sim_ivf,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "text_quality_scores": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -826,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly the true near-dup pair set.
         "dedup_simhash": f"SELECT id_a, id_b FROM ({_JACCARD_SQL})",
         "sim_lsh_topk": _lsh_topk_oracle_sql(),
+        "sim_ivf_topk": _ivf_topk_oracle_sql(),
         "dedup_embedding_cosine": _cosine_pairs_oracle_sql(),
         "sim_bruteforce_topk": (
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],"

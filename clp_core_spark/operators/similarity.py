@@ -86,6 +86,59 @@ def hyperplane_signature(vec_col: Column, dim: int, num_planes: int = 16) -> Col
     return sig
 
 
+def ivf_centroids(dim: int, nlist: int) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (seeded splitmix
+    directions, seed space disjoint from the LSH planes). Data-independent
+    on purpose: both engines — and the SQL oracle — can reproduce them
+    exactly; a k-means-trained codebook would plug into the same
+    assignment expression."""
+    return [_hyperplane(dim, 1000 + i) for i in range(nlist)]
+
+
+def ivf_assign(vec_col: Column, dim: int, nlist: int) -> Column:
+    """1-based IVF cell = argmax dot(vec, centroid_i) (spherical coarse
+    quantization; first index wins ties — array_position semantics match
+    DuckDB's list_position for the oracle)."""
+    dists = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(c) for c in cent]))
+            for cent in ivf_centroids(dim, nlist)
+        ]
+    )
+    return F.array_position(dists, F.array_max(dists))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: rows are bucketed into ``nlist`` cells
+    by nearest centroid; the query scores only the ``nprobe`` cells whose
+    centroids best match it. At scale the cell column is precomputed and
+    the table partitioned/bucketed by it, so a probe is a
+    partition-pruned scan of nprobe/nlist of the data (the IVF inverted
+    lists as table partitions)."""
+    dim = len(query_vec)
+    cents = ivf_centroids(dim, nlist)
+    assigned = df.withColumn("_cell", ivf_assign(F.col(vec_col), dim, nlist))
+    # query-side cell ranking, sequential double sums (same arithmetic as
+    # the engine/oracle; ties break to the lower cell index)
+    qd = [float(sum(q * c for q, c in zip(query_vec, cent))) for cent in cents]
+    probe = [i + 1 for i in sorted(range(nlist), key=lambda i: (-qd[i], i))[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("_cell").isin(probe))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), qarr), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.4,

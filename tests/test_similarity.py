@@ -90,3 +90,23 @@ def test_cosine_near_pairs_verify_is_exact(embeddings):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r["cosine_sim"]) < 1e-6
         assert r["cosine_sim"] >= 0.3
+
+
+def test_ivf_topk_contains_query_and_near_copy(embeddings):
+    out = similarity.ivf_topk(embeddings, _vec(0), k=5, nlist=8, nprobe=3).collect()
+    ids = [r["vec_id"] for r in out]
+    # the near-copy shares the query's cell (cosine ~1 => same argmax
+    # centroid), so IVF must surface both first
+    assert ids[0] == 0 and ids[1] == 199
+
+
+def test_ivf_scores_match_bruteforce(embeddings):
+    q = _vec(3)
+    brute = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.brute_force_topk(embeddings, q, k=N).collect()
+    }
+    out = similarity.ivf_topk(embeddings, q, k=10, nlist=8, nprobe=3).collect()
+    assert out
+    for r in out:
+        assert abs(brute[r["vec_id"]] - r["cosine_sim"]) < 1e-9
