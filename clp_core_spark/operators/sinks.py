@@ -45,6 +45,35 @@ def decompress_to_text(
     )
 
 
+def reconstruct_log_files(
+    messages: DataFrame,
+    text_col: str = "text",
+    out_col: str = "content",
+) -> DataFrame:
+    """(path, msg_idx, ts, pattern_id, <text_col>) -> (path, content):
+    re-insert each message's formatted timestamp at its pattern's
+    position (timestamps.insert_timestamp) and join the messages back in
+    ingest order — the FileDecompressor path
+    (clp/clp/FileDecompressor.cpp:1-77 + TimestampPattern::
+    insert_formatted_timestamp). Byte-exact inverse of
+    sources.raw_text.read_log_files for content the pattern bank parses."""
+    from clp_core_spark.functions.timestamps import insert_timestamp
+
+    line = insert_timestamp(
+        F.col(text_col), F.col("ts"), F.col("pattern_id")
+    )
+    per = messages.select("path", "msg_idx", line.alias("_line"))
+    return per.groupBy("path").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("msg_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+
+
 def reconstruct_json(
     encoded: DataFrame,
     logtype_dict: DataFrame,

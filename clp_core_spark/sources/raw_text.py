@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clp_core_spark.functions.timestamps import COMPILED, anchored_pattern_regex
 
-MESSAGE_SCHEMA = "path string, msg_idx long, ts timestamp, text string"
+MESSAGE_SCHEMA = (
+    "path string, msg_idx long, ts timestamp, pattern_id int, text string"
+)
 
 # CLP directive -> strptime directive. Space-padded %k/%e parse via their
 # unpadded twins after the candidate's space runs are collapsed.
@@ -74,16 +76,18 @@ _PATTERNS = [
 ]
 
 
-def _parse_lines(lines: pd.Series) -> tuple[pd.Series, pd.Series]:
+def _parse_lines(lines: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
     """Vectorized first-match-wins parse of the whole line batch.
     Returns (ts: datetime64 Series with NaT for no-timestamp lines,
+    pattern_id: bank index or -1,
     tail: the message content — pre-ts prefix kept, timestamp excised
     (ParsedMessage.cpp:34-35); the original line when no pattern
     matched)."""
     ts = pd.Series(pd.NaT, index=lines.index, dtype="datetime64[ns]")
+    pid = pd.Series(-1, index=lines.index, dtype="int32")
     tail = lines.copy()
     unmatched = pd.Series(True, index=lines.index)
-    for rx, pyfmt, collapse, epoch_ms, yearless in _PATTERNS:
+    for pat_ix, (rx, pyfmt, collapse, epoch_ms, yearless) in enumerate(_PATTERNS):
         if not unmatched.any():
             break
         sub = lines[unmatched]
@@ -110,10 +114,11 @@ def _parse_lines(lines: pd.Series) -> tuple[pd.Series, pd.Series]:
             continue
         idx = c.index[ok]
         ts.loc[idx] = parsed[ok]
+        pid.loc[idx] = pat_ix
         # anchored at ^: keep the prefix (group 1), excise the timestamp
         tail.loc[idx] = sub.loc[idx].str.replace(rx, r"\1", n=1, regex=True)
         unmatched.loc[idx] = False
-    return ts, tail
+    return ts, pid, tail
 
 
 def _messages_frame(paths: list[str], contents: list[str]) -> pd.DataFrame:
@@ -128,11 +133,13 @@ def _messages_frame(paths: list[str], contents: list[str]) -> pd.DataFrame:
     if not flat:
         return pd.DataFrame(
             {"path": pd.Series(dtype=object), "msg_idx": pd.Series(dtype="int64"),
-             "ts": pd.Series(dtype="datetime64[ns]"), "text": pd.Series(dtype=object)}
+             "ts": pd.Series(dtype="datetime64[ns]"),
+             "pattern_id": pd.Series(dtype="int32"),
+             "text": pd.Series(dtype=object)}
         )
     lines = pd.Series(flat, dtype=object)
     fix = np.asarray(file_ix, dtype=np.int64)
-    ts, tail = _parse_lines(lines)
+    ts, pid, tail = _parse_lines(lines)
 
     # Boundary rule (clp/MessageParser.hpp:30-34): a timestamped line opens
     # a message; before the first timestamp, every line is its own message.
@@ -152,6 +159,7 @@ def _messages_frame(paths: list[str], contents: list[str]) -> pd.DataFrame:
             "path": np.asarray(paths, dtype=object)[msg_file],
             "msg_idx": msg_idx,
             "ts": ts.to_numpy()[first],
+            "pattern_id": pid.to_numpy()[first],
             "text": texts.to_numpy(dtype=object),
         }
     )

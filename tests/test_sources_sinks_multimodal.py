@@ -45,6 +45,37 @@ def test_read_log_files(spark, tmp_path):
     assert rows[3]["ts"] is not None
 
 
+MULTI_FORMAT_LOG = """2016-05-08T07:34:05.251 iso millis line
+[20160508-07:34:05] bracketed compact
+150131  9:50:45 space-padded hour v=42
+January 31, 2015 15:50 full month name
+E [08/May/2016:15:50:45 prefixed apache style
+  continuation under the apache line
+916321 relative millis line
+no timestamp epilogue is its own message"""
+
+
+def test_file_reconstruction_roundtrip(spark, tmp_path):
+    """clp c + clp x analog: raw files -> messages -> CLP encode ->
+    decode -> re-insert formatted timestamps -> byte-equal file content
+    (FileDecompressor.cpp:1-77). Covers several bank patterns incl. the
+    space-padded and relative-ms directives."""
+    d = tmp_path / "rtlogs"
+    d.mkdir()
+    (d / "a.log").write_text(MULTI_FORMAT_LOG)
+    (d / "b.log").write_text(LOG.rstrip("\n"))
+
+    msgs = raw_text.read_log_files(spark, str(d))
+    enc, lt, vd = encode_pipeline.encode(msgs, key_cols=["path", "msg_idx"])
+    dec = encode_pipeline.decode(enc, lt, vd, ["path", "msg_idx"])
+    files = sinks.reconstruct_log_files(
+        dec, text_col="decoded_text"
+    ).collect()
+    got = {r["path"].split("/")[-1]: r["content"] for r in files}
+    assert got["a.log"] == MULTI_FORMAT_LOG
+    assert got["b.log"] == LOG.rstrip("\n")
+
+
 def test_read_compressed_and_tar_sources(spark, tmp_path):
     """gzip'd logs and .tar.gz archives split into the same messages as
     plain files (compressed-archive source, SURVEY §2.1)."""
