@@ -62,6 +62,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         " ratio); hash = shuffle-free routing fast path")
     p.add_argument("--write-glt", action="store_true",
                    help="also write a logtype-clustered archival copy")
+    p.add_argument("--dict-budget", type=int, default=None,
+                   help="max NEW dictionary entries per committed sub-epoch;"
+                        " oversized partitions split (archive-rollover"
+                        " analog)")
+    p.add_argument("--table-mode", choices=["auto", "parquet", "iceberg"],
+                   default="auto",
+                   help="sink table format: Iceberg when its runtime is on"
+                        " the classpath (auto/iceberg), parquet otherwise")
     p.add_argument("--master", default="",
                    help="Spark master override (default: inherit from launcher)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -93,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
             salt_buckets=args.salt_buckets,
             var_id_mode=args.var_id_mode,
             write_glt=args.write_glt,
+            dict_budget=args.dict_budget,
+            table_mode=args.table_mode,
         )
         pipe.run(input_df, partitions=args.partitions)
         blob = pipe.emit_metrics(args.metrics_out)

@@ -56,7 +56,12 @@ def reconstruct_log_files(
     ingest order — the FileDecompressor path
     (clp/clp/FileDecompressor.cpp:1-77 + TimestampPattern::
     insert_formatted_timestamp). Byte-exact inverse of
-    sources.raw_text.read_log_files for content the pattern bank parses."""
+    sources.raw_text.read_log_files for content the pattern bank parses.
+
+    One file is one group (collect_list holds a file's messages in one
+    executor's memory) — the file is the parallelism unit here exactly as
+    in the source; for multi-GB single files, write per-message lines via
+    decompress_to_text instead."""
     from clp_core_spark.functions.timestamps import insert_timestamp
 
     line = insert_timestamp(
