@@ -287,6 +287,18 @@ def _q_search_dictvar(spark, sf_dir):
     return _search(spark, sf_dir, "events", "*v1234*").select("event_id")
 
 
+def _q_search_regex(spark, sf_dir):
+    """Regex front-end (clp/regex_utils/regex_translation_utils.cpp):
+    'evt sig.up .*' translates to the CLP wildcard '*evt sig?up *' (dot ->
+    '?', '.*' -> '*', substring semantics) and runs as a dictionary
+    search; the '?' takes the replace-then-verify path."""
+    enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
+    return search.search_regex(
+        enc, lt, vd, "evt sig.up .*", keys,
+        var_dict_count=_vdc(spark, sf_dir, "events"),
+    ).select("event_id")
+
+
 def _q_search_broad_dictvar(spark, sf_dir):
     """Broad dict-var wildcard: '*v1*' hits >10^3 var-dict entries at
     sf>=0.01, so the probe result stays a DataFrame and reaches the encoded
@@ -730,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_midstar": _q_search_midstar,
         "clp_search_dictvar": _q_search_dictvar,
         "clp_search_broad_dictvar": _q_search_broad_dictvar,
+        "clp_search_regex": _q_search_regex,
         "clp_roundtrip_floats": _q_roundtrip_floats,
         "clp_search_float": _q_search_float,
         "clp_search_ignorecase": _q_search_ignorecase,
@@ -806,6 +819,11 @@ def oracle_sql() -> dict[str, str]:
         "clp_search_broad_dictvar": (
             f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
             " FROM events) WHERE t LIKE '%v1%'"
+        ),
+        # regex 'evt sig.up .*' == wildcard '*evt sig?up *' == this LIKE
+        "clp_search_regex": (
+            f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
+            " FROM events) WHERE t LIKE '%evt sig_up %'"
         ),
         "clp_roundtrip_floats": (
             f"SELECT event_id, {_FLOAT_TEXT_SQL} AS text FROM events"

@@ -42,6 +42,7 @@ from clp_core_spark.functions.tokenizer import (
 from clp_core_spark.functions.wildcard import (
     clean_up_wildcard_search_string,
     is_wildcard,
+    regex_to_wildcard,
     wildcard_to_regex,
 )
 
@@ -652,3 +653,29 @@ def search_text(
         max_literal_ids=max_literal_ids, wrap=wrap,
     )
     return search(encoded, logtype_dict, var_dict, compiled, key_cols, **kw)
+
+
+def search_regex(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    regex: str,
+    key_cols: list[str],
+    ignore_case: bool = False,
+    **kw,
+) -> DataFrame:
+    """Regex front-end: translate the supported regex subset to a CLP
+    wildcard query (clp/regex_utils/regex_translation_utils.cpp — .*/.+/.
+    wildcards, escaped metachars, trivial charsets, ^/$ anchors with
+    substring semantics otherwise) and run the dictionary search.
+    Untranslatable patterns raise wildcard.RegexTranslationError — same
+    contract as the reference."""
+    w = regex_to_wildcard(
+        regex,
+        case_insensitive_wildcard=ignore_case,
+        add_prefix_suffix_wildcards=True,
+    )
+    return search_text(
+        encoded, logtype_dict, var_dict, w, key_cols,
+        ignore_case=ignore_case, wrap=False, **kw,
+    )

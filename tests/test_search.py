@@ -115,6 +115,36 @@ def test_forced_join_compile_uses_dataframes(corpus):
     assert any(v.values_df is not None for v in dict_vars)
 
 
+REGEX_QUERIES = [
+    # (regex, equivalent wildcard under substring semantics)
+    ("Task 1. assigned", "Task 1? assigned"),
+    ("heartbeat", "heartbeat"),
+    ("container_.*", "container_*"),
+    ("session token .+ refreshed", "session token ?* refreshed"),
+    ("job[=]alpha", "job=alpha"),
+]
+
+
+@pytest.mark.parametrize("regex,wild", REGEX_QUERIES)
+def test_search_regex_front_end(corpus, regex, wild):
+    """search_regex == translate-then-wildcard-search == naive scan
+    (regex_translation_utils.cpp subset)."""
+    transcripts, encoded, lt, vd = corpus
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in search.search_regex(encoded, lt, vd, regex, KEYS).collect()
+    }
+    assert got == naive(transcripts, wild)
+
+
+def test_search_regex_rejects_unsupported(corpus):
+    _, encoded, lt, vd = corpus
+    from clp_core_spark.functions.wildcard import RegexTranslationError
+
+    with pytest.raises(RegexTranslationError):
+        search.search_regex(encoded, lt, vd, "task (a|b)+", KEYS)
+
+
 def test_search_ignore_case(corpus):
     expected = naive(corpus[0], "TASK * ASSIGNED", ignore_case=True)
     got = run(corpus, "TASK * ASSIGNED", ignore_case=True)
