@@ -529,6 +529,23 @@ def _clps_encoded2(spark, sf_dir):
     return _CACHE[key]
 
 
+def _q_clps_schema_pruned_search(spark, sf_dir):
+    """clp_s SchemaMatch stage (clp_s/search/SchemaMatch.cpp): a query
+    that requires a leaf ('extra') first resolves which schemas contain
+    it, then scans ONLY those — here the schema set becomes a pushable
+    ``schema_id IN (...)`` predicate (records with event_id % 5 == 0 are
+    the only ones carrying 'extra')."""
+    enc, _, smap = _semistructured(spark, sf_dir)
+    with_extra = [
+        r["schema_id"]
+        for r in smap.collect()
+        if "extra" in r["schema_key"].split(",")
+    ]
+    return enc.filter(
+        F.col("schema_id").isin(with_extra) & (F.col("user") > 10)
+    ).select("event_id")
+
+
 def _q_clps_clpstring_search(spark, sf_dir):
     """clp_s mini-Grep: a KQL wildcard over a CLP-encoded ClpString column
     runs dictionary-first on the column's logtype/var dictionaries — no
@@ -769,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clps_schema_tree": _q_clps_schema_tree,
         "clps_schema_counts": _q_clps_schema_counts,
         "clps_typed_search": _q_clps_typed_search,
+        "clps_schema_pruned_search": _q_clps_schema_pruned_search,
         "clps_clpstring_search": _q_clps_clpstring_search,
         "clps_structured_array": _q_clps_structured_array,
         "kql_bool_range": _q_kql_bool,
@@ -935,6 +953,10 @@ def oracle_sql() -> dict[str, str]:
         "clps_typed_search": (
             "SELECT event_id FROM events"
             " WHERE user_id > 10 AND event_type = 'error'"
+        ),
+        "clps_schema_pruned_search": (
+            "SELECT event_id FROM events"
+            " WHERE event_id % 5 = 0 AND user_id > 10"
         ),
         "clps_clpstring_search": (
             "SELECT event_id FROM events"
