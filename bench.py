@@ -125,6 +125,9 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "join_enrich_nation",
         "dedup_exact_docs",
         "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "sim_ivf_topk",
+        "clp_search_regex",
         "clps_clpstring_search",
         "clp_rawtext_roundtrip",
     ]

@@ -162,14 +162,24 @@ def cosine_near_pairs(
     if chunks is None:
         chunks = max_hamming + 1
     dim = len(df.select(vec_col).first()[0])
-    sig = df.select(
+    # signature math is interpreted (HOF dot products); a small input left
+    # in 1-4 scan splits would compute it single-threaded — fan out first
+    # (no-op at scale, where the scan yields many splits)
+    src = df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    sig = src.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         hyperplane_signature(F.col(vec_col), dim, num_planes).alias("_sig"),
     )
     width = -(-num_planes // chunks)  # ceil: chunk i covers bits [i*w, ...)
+    # the banded relation carries (id, sig, chunk) only — ~28 B/row; the
+    # Hamming cutoff runs BEFORE dedup so near-true-pair counts (not raw
+    # bucket collisions) flow downstream, and vectors re-attach only to
+    # survivors (same slimming as dedup.minhash_lsh_pairs)
     chunked = sig.select(
-        "_id", "_v", "_sig",
+        "_id", "_sig",
         F.posexplode(
             F.array(
                 *[
@@ -184,22 +194,22 @@ def cosine_near_pairs(
     # shared exchange for both self-join sides (see dedup.minhash_lsh_pairs)
     chunked = chunked.repartition(F.col("_chunk_ix"), F.col("_chunk"))
     left, right = chunked.alias("l"), chunked.alias("r")
+    ham = F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig")))
     cand = (
         left.join(
             right,
             (F.col("l._chunk_ix") == F.col("r._chunk_ix"))
             & (F.col("l._chunk") == F.col("r._chunk"))
-            & (F.col("l._id") < F.col("r._id")),
+            & (F.col("l._id") < F.col("r._id"))
+            & (ham <= max_hamming),
         )
-        .select(
-            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("sig_a"), F.col("r._sig").alias("sig_b"),
-            F.col("l._v").alias("v_a"), F.col("r._v").alias("v_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham_ok = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
-    scored = cand.filter(ham_ok).withColumn(
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    v_a = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("v_a"))
+    v_b = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("v_b"))
+    scored = cand.join(v_a, "id_a").join(v_b, "id_b").withColumn(
         "cosine_sim", F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 6)
     )
     return scored.filter(F.col("cosine_sim") >= threshold).select(
