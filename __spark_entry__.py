@@ -434,6 +434,35 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in row["embedding"]]
 
 
+def _q_dedup_simhash_prod(spark, sf_dir):
+    """SimHash at PRODUCTION defaults (max_hamming=3, chunks=4) over a
+    corpus whose planted margin matches them: distinct-text docs with
+    every near-dup (3-gram Jaccard >= 0.2) removed, plus exact clones at
+    id+1000000 for doc_id % 10 == 0. On this corpus the hamming<=3
+    detector provably recovers exactly the clone pairs (measured: all
+    detected pairs hamming 0, non-clone pairs all > 3 at sf0.001/0.01),
+    so the oracle reconstructs the same corpus and emits the clone pair
+    list directly."""
+    d = _t(spark, sf_dir, "documents")
+    reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    nd = dedup.ngram_jaccard_all_pairs(reps, threshold=0.2)
+    bad = (
+        nd.select(F.col("id_a").alias("doc_id"))
+        .unionByName(nd.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    base = reps.join(bad, "doc_id", "left_anti")
+    clones = base.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(clones)
+    return dedup.simhash_near_pairs(corpus, max_hamming=3, chunks=4).select(
+        "id_a", "id_b"
+    )
+
+
 def _q_sim_bruteforce(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
@@ -460,7 +489,7 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     signature + cutoff in SQL, so the approximate semantics are checked
     exactly."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_pairs(e, threshold=0.4)
+    return similarity.cosine_near_pairs(e, threshold=0.4, dim=64)
 
 
 def _q_quality(spark, sf_dir):
@@ -578,12 +607,9 @@ def _q_clps_typed_search(spark, sf_dir):
     ).select("event_id")
 
 
-def _q_clps_structured_array(spark, sf_dir):
-    """clp_s --structurize-arrays analog (SchemaTree.hpp:27-40
-    StructuredArray; golden behavior test-clp_s-search.cpp:182): a field
-    holding EITHER an array of objects (even ids) OR a single object (odd
-    ids) becomes one array<struct> column, and ``arr.b > 100`` matches a
-    record when any element matches — across both shapes."""
+def _arr_records(spark, sf_dir):
+    """Mixed-shape array corpus: 'arr' holds EITHER an array of objects
+    (even ids) OR a single object (odd ids)."""
     ev = _t(spark, sf_dir, "events")
     a = F.col("user_id").cast("string")
     b = F.floor("value").cast("long").cast("string")
@@ -597,11 +623,95 @@ def _q_clps_structured_array(spark, sf_dir):
         ),
         F.lit("}"),
     )
-    recs = ev.select("event_id", js.alias("js"))
+    return ev.select("event_id", js.alias("js"))
+
+
+def _q_clps_structured_array(spark, sf_dir):
+    """clp_s --structurize-arrays analog (SchemaTree.hpp:27-40
+    StructuredArray; golden behavior test-clp_s-search.cpp:182): the
+    mixed-shape field becomes one array<struct> column, and
+    ``arr.b > 100`` matches a record when any element matches — across
+    both shapes."""
+    recs = _arr_records(spark, sf_dir)
     enc, _, _ = semistructured.encode_semistructured(
         recs, "js", key_cols=["event_id"], structurize_arrays=True
     )
     return kql.kql_filter(enc, "arr.b > 100").select("event_id")
+
+
+def _q_clps_unstructured_array(spark, sf_dir):
+    """The SAME query WITHOUT structurize: arr stays JSON text (clp_s
+    array.dict, archive_constants.hpp:11-24) and ``arr.b > 100`` runs as
+    an ANY-element predicate over a query-derived minimal from_json parse
+    — the golden arr.b family holds with structurize on AND off
+    (tests/test-clp_s-search.cpp GENERATE(true, false))."""
+    recs = _arr_records(spark, sf_dir)
+    enc, tree, _ = semistructured.encode_semistructured(
+        recs, "js", key_cols=["event_id"], structurize_arrays=False
+    )
+    acols = kql.unstructured_array_cols(tree)
+    assert "arr" in acols, "arr must classify as UnstructuredArray"
+    return kql.kql_filter(enc, "arr.b > 100", array_cols=acols).select("event_id")
+
+
+def _q_kql_wildcard_key(spark, sf_dir):
+    """Wildcard COLUMN descriptors (clp_s SchemaMatch.cpp:70-174): `*.code`
+    resolves through any path prefix to the resp.code leaf; `req.*` with a
+    wildcard string value resolves only to req's type-compatible (string)
+    leaf. Both expand to concrete-leaf predicates — no scan-everything
+    fallback."""
+    ev = _t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"req": {"user": '), F.col("user_id").cast("string"),
+        F.lit(', "msg": "evt num '), F.col("event_id").cast("string"),
+        F.lit('"}, "resp": {"code": '),
+        F.floor("value").cast("long").cast("string"),
+        F.lit("}}"),
+    )
+    recs = ev.select("event_id", js.alias("js"))
+    enc, tree, _ = semistructured.encode_semistructured(
+        recs, "js", key_cols=["event_id"]
+    )
+    return kql.kql_filter(
+        enc, '*.code > 150 AND req.*: "*num 1*"',
+        array_cols=kql.unstructured_array_cols(tree),
+    ).select("event_id")
+
+
+def _q_stream_count_by_time(spark, sf_dir):
+    """Structured Streaming end-to-end (SURVEY §2.9): a deterministic
+    file-source stream of event-derived turns runs through the
+    foreachBatch encode+enrich+route pipeline (availableNow trigger,
+    checkpointed — clp ir-stream ingest analog), then the routed sink is
+    bucket-counted per sink key. The oracle reproduces the counts straight
+    from events — per-sink aggregate-count equality across the streaming
+    boundary."""
+    import tempfile
+
+    from clp_core_spark.streaming import stream_pipeline
+
+    work = tempfile.mkdtemp(prefix="clp_stream_q_")
+    ev = _event_lines(spark, sf_dir)
+    turns = ev.select(
+        F.concat(F.lit("c"), F.pmod("event_id", F.lit(64)).cast("string")).alias(
+            "conv_id"
+        ),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    turns.write.mode("overwrite").parquet(f"{work}/incoming")
+    stream = stream_pipeline.read_transcript_stream(spark, f"{work}/incoming")
+    q = stream_pipeline.route_stream(spark, stream, work)
+    q.awaitTermination()
+    routed = spark.read.parquet(f"{work}/sinks/by_role")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    bucket = (ms - F.pmod(ms, F.lit(3_600_000))).alias("bucket_ms")
+    return routed.groupBy(F.col("role").alias("sink_key"), bucket).agg(
+        F.count("*").alias("n")
+    )
 
 
 def _q_kql_bool(spark, sf_dir):
@@ -724,6 +834,40 @@ def _q_schema_roundtrip(spark, sf_dir):
     return dec.select("event_id", F.col("decoded_text").alias("text"))
 
 
+def _q_schema_search(spark, sf_dir):
+    """Query-side schema lexer (Grep.cpp:750-891): the corpus is ingested
+    with a schema whose only delimiter is space and a `tag` rule
+    ([a-z]+:[0-9]+), so 'error:13' is ONE dictionary variable. The QUERY
+    must tokenize with the same schema: the heuristic lexer would split
+    '*error:13 *' at ':' into a constant + an int and find NOTHING (no
+    such logtype, no standalone int var). Oracle = direct LIKE over the
+    same deterministic corpus."""
+    from clp_core_spark.functions.schema_tokenizer import SchemaSpec
+
+    spec = SchemaSpec(
+        delimiters=" ",
+        rules=[
+            ("int", r"-{0,1}[0-9]+"),
+            ("tag", r"[a-z]+:[0-9]+"),
+            ("vid", r"v[0-9]+"),
+        ],
+    )
+    ev = _t(spark, sf_dir, "events")
+    text = F.concat(
+        F.lit("job "), F.col("event_type"),
+        F.lit(":"), F.col("user_id").cast("string"),
+        F.lit(" v"), F.col("event_id").cast("string"),
+    )
+    corpus = ev.select("event_id", text.alias("text"))
+    enc, lt, vd = encode_pipeline.encode(
+        corpus, key_cols=["event_id"], schema_spec=spec
+    )
+    hits = search.search_text(
+        enc, lt, vd, "*error:13 *", ["event_id"], schema_spec=spec
+    )
+    return hits.select("event_id")
+
+
 def _q_search_two_vars(spark, sf_dir):
     """Two query variables (int 13, dict-wildcard v1*) must appear as an
     ordered non-contiguous subsequence of the row's encoded vars
@@ -775,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_prod": _q_dedup_simhash_prod,
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
@@ -789,6 +934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clps_schema_pruned_search": _q_clps_schema_pruned_search,
         "clps_clpstring_search": _q_clps_clpstring_search,
         "clps_structured_array": _q_clps_structured_array,
+        "clps_unstructured_array_search": _q_clps_unstructured_array,
+        "kql_wildcard_key": _q_kql_wildcard_key,
+        "stream_count_by_time": _q_stream_count_by_time,
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
         "kql_date_range": _q_kql_date_range,
@@ -798,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_count_by_time": _q_search_count_by_time,
         "clp_search_two_vars": _q_search_two_vars,
         "clp_schema_roundtrip": _q_schema_roundtrip,
+        "clp_schema_search": _q_schema_search,
         "clp_search_qmark": _q_search_qmark,
         "clp_rawtext_roundtrip": _q_rawtext_roundtrip,
     }
@@ -902,6 +1051,28 @@ def oracle_sql() -> dict[str, str]:
         # the margin-matched simhash detector (see _q_dedup_simhash) returns
         # exactly the true near-dup pair set.
         "dedup_simhash": f"SELECT id_a, id_b FROM ({_JACCARD_SQL})",
+        # margin-clean corpus (see _q_dedup_simhash_prod): the hamming<=3
+        # detector returns exactly the planted exact-clone pairs
+        "dedup_simhash_prod": """
+WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         || ' ' || string_split(text,' ')[i+2])) AS g
+  FROM reps WHERE len(string_split(text,' ')) >= 3
+),
+nd AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) * 1.0
+    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
+),
+bad AS (SELECT id_a AS doc_id FROM nd UNION SELECT id_b AS doc_id FROM nd)
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM reps
+WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
+""",
         "sim_lsh_topk": _lsh_topk_oracle_sql(),
         "sim_ivf_topk": _ivf_topk_oracle_sql(),
         "dedup_embedding_cosine": _cosine_pairs_oracle_sql(),
@@ -968,6 +1139,23 @@ def oracle_sql() -> dict[str, str]:
         "clps_structured_array": (
             "SELECT event_id FROM events WHERE floor(value) > 100"
         ),
+        # identical truth WITHOUT structurize: the element predicate runs
+        # over the JSON-text array (array.dict analog)
+        "clps_unstructured_array_search": (
+            "SELECT event_id FROM events WHERE floor(value) > 100"
+        ),
+        # *.code -> resp.code (Integer); req.* with a wildcard string value
+        # -> req.msg only (type-compatible leaves)
+        "kql_wildcard_key": (
+            "SELECT event_id FROM events WHERE floor(value) > 150"
+            " AND ('evt num ' || CAST(event_id AS VARCHAR)) LIKE '%num 1%'"
+        ),
+        # per-sink bucket counts must survive the streaming boundary
+        "stream_count_by_time": (
+            "SELECT event_type AS sink_key,"
+            " (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ms,"
+            " count(*) AS n FROM events GROUP BY 1, 2"
+        ),
         "kql_bool_range": (
             "SELECT event_id FROM events"
             " WHERE event_type = 'error' AND value > 100"
@@ -1008,6 +1196,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clp_schema_roundtrip": (
             f"SELECT event_id, {_EVENT_TEXT_SQL} AS text FROM events"
+        ),
+        # ' v' before the trailing id keeps the LIKE anchored on the tag
+        "clp_schema_search": (
+            "SELECT event_id FROM (SELECT event_id,"
+            " 'job ' || event_type || ':' || CAST(user_id AS VARCHAR)"
+            " || ' v' || CAST(event_id AS VARCHAR) AS t FROM events)"
+            " WHERE t LIKE '%error:13 %'"
         ),
         "clp_search_qmark": (
             f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"

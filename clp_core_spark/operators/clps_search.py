@@ -33,13 +33,16 @@ from clp_core_spark.operators import encode_pipeline, search
 from clp_core_spark.operators.kql import (
     KqlCompiler,
     Tok,
+    _descriptor_tokens,
     _lex,
+    _match_tokens,
     _unescape,
     unescape_kql_value,
 )
 
-_ENC_FIELDS = ("logtype_id", "encoded_vars", "var_types", "n_vars")
-
+# columns encode_clpstring_columns adds per ClpString column — hidden from
+# wildcard-key resolution (they are storage internals, not user leaves)
+_SYNTH_SUFFIXES = ("logtype_id", "encoded_vars", "var_types", "n_vars", "present")
 
 def encode_clpstring_columns(
     df: DataFrame, cols: list[str], key_cols: list[str]
@@ -49,22 +52,74 @@ def encode_clpstring_columns(
     plus ``<col>__present`` (records missing the leaf keep their row —
     clp_s would place them in a different schema table; here absence is a
     presence flag, and searches only ever match present rows).
-    Returns (encoded_df, {col: (logtype_dict, var_dict)})."""
+    Returns (encoded_df, {col: (logtype_dict, var_dict)}).
+
+    SINGLE-PASS: all k columns are tokenized in ONE scan of the corpus —
+    the per-column parse UDFs sit in one projection, so Spark fuses them
+    into a single ArrowEvalPython stage (each Arrow batch crosses the
+    Python boundary once and feeds every column writer), mirroring clp_s
+    parsing each record once into all column writers
+    (clp_s/JsonParser.cpp:125-232, clp_s/ColumnWriter.hpp:104-163).
+    Dictionary IDs are content hashes computed inline (zero resolve
+    shuffle); logtype IDs attach via k broadcast joins on tiny dicts."""
+    from clp_core_spark.functions.tokenizer import VT_DICT
+    from clp_core_spark.operators import dictionaries
+
     out = df
-    dicts: dict[str, tuple[DataFrame, DataFrame]] = {}
     for c in cols:
         out = out.withColumn(f"{c}__present", F.col(c).isNotNull())
-        # encode() inner-joins on the logtype; nulls must become a real
-        # (empty) message so absent-leaf rows survive the join.
+        # nulls become a real (empty) message so absent-leaf rows keep a
+        # valid logtype and survive the dictionary join
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
-        enc, lt, vd = encode_pipeline.encode(
-            out, key_cols=key_cols, text_col=c, keep_text=False
+    parsed = out.select(
+        "*",
+        *[
+            encode_pipeline._parse_slim_udf(F.col(c)).alias(f"_p_{c}")
+            for c in cols
+        ],
+    ).persist()
+
+    dicts: dict[str, tuple[DataFrame, DataFrame]] = {}
+    enc = parsed
+    for c in cols:
+        p = f"_p_{c}"
+        sub = parsed.select(
+            F.col(f"{p}.logtype").alias("logtype"),
+            F.col(f"{p}.dict_strs").alias("dict_strs"),
         )
-        for base in _ENC_FIELDS:
-            enc = enc.withColumnRenamed(base, f"{c}__{base}")
-        out = enc
+        lt = dictionaries.build_logtype_dict(sub)
+        vd = dictionaries.build_var_dict_hash(sub)
         dicts[c] = (lt, vd)
-    return out, dicts
+        def _hash_swap(parsed_col):
+            # bind via closure: zip_with requires an exactly-2-arg lambda
+            def fn(v, t):
+                return F.when(
+                    t == F.lit(VT_DICT),
+                    F.xxhash64(
+                        F.element_at(
+                            F.col(f"{parsed_col}.dict_strs"), (v + 1).cast("int")
+                        )
+                    ),
+                ).otherwise(v)
+
+            return fn
+
+        enc = enc.withColumn(
+            f"{c}__encoded_vars",
+            F.zip_with(
+                F.col(f"{p}.encoded"), F.col(f"{p}.var_types"), _hash_swap(p)
+            ),
+        ).withColumn(f"{c}__var_types", F.col(f"{p}.var_types")).withColumn(
+            f"{c}__n_vars", F.size(F.col(f"{p}.var_types"))
+        )
+        lt_renamed = lt.select(
+            F.col("logtype").alias(f"_lt_{c}"),
+            F.col("logtype_id").alias(f"{c}__logtype_id"),
+        )
+        enc = enc.withColumn(f"_lt_{c}", F.col(f"{p}.logtype")).join(
+            F.broadcast(lt_renamed), f"_lt_{c}"
+        ).drop(f"_lt_{c}", c)
+    return enc.drop(*[f"_p_{c}" for c in cols]), dicts
 
 
 def search_clpstring_column(
@@ -134,17 +189,51 @@ def _clp_clause(toks: list[Tok], clp_cols) -> tuple[str, str] | None:
     return None
 
 
+def _wildcard_clause(toks: list[Tok]) -> tuple[tuple, Tok] | None:
+    """``desc : value`` with wildcard tokens in the descriptor, or a bare
+    value (clp_s's default-column search IS the pure-wildcard descriptor,
+    SchemaMatch::populate_column_mapping pure-wildcard branch). Returns
+    (descriptor tokens, value token) else None."""
+    if (
+        len(toks) == 3
+        and toks[0].kind in ("lit", "quoted")
+        and toks[1].kind == "punct"
+        and toks[1].text == ":"
+        and toks[2].kind in ("lit", "quoted")
+    ):
+        tokens = _descriptor_tokens(toks[0].text)
+        if any(w for _, w in tokens):
+            return tokens, toks[2]
+        return None
+    if len(toks) == 1 and toks[0].kind in ("lit", "quoted"):
+        return (("*", True),), toks[0]
+    return None
+
+
+def _plain_view(encoded: DataFrame, clp_cols) -> DataFrame:
+    """``encoded`` without the per-ClpString storage columns and
+    schema_id — the schema wildcard keys resolve against."""
+    hidden = {f"{c}__{s}" for c in clp_cols for s in _SYNTH_SUFFIXES}
+    hidden.add("schema_id")
+    return encoded.drop(*[c for c in encoded.columns if c in hidden])
+
+
 def kql_filter_clps(
     encoded: DataFrame,
     kql: str,
     dicts: dict[str, tuple[DataFrame, DataFrame]],
     key_cols: list[str],
+    array_cols: set[str] | None = None,
 ) -> DataFrame:
     """KQL over a clp_s-lite table whose ClpString columns are CLP-encoded.
     ``col: value`` clauses on encoded columns run as dictionary searches
-    (search-without-decompression); everything else compiles to Column
-    predicates. Top-level connectives must be homogeneous (all AND or all
-    OR) — parenthesize to mix."""
+    (search-without-decompression); wildcard-key clauses (``a.*: v``,
+    ``*: v``) and bare values resolve over plain leaves AND encoded
+    ClpString columns, unioning hits (SchemaMatch descriptor expansion);
+    everything else compiles to Column predicates. ``array_cols``:
+    JSON-text unstructured-array columns (see KqlCompiler). Top-level
+    connectives must be homogeneous (all AND or all OR) — parenthesize
+    to mix."""
     clauses, ops = _split_top_level(kql)
     if ops and len(set(ops)) > 1:
         raise ValueError(
@@ -155,7 +244,8 @@ def kql_filter_clps(
     def apply_clause(base: DataFrame, clause: str) -> DataFrame:
         toks = _lex(clause)
         negated = bool(toks) and toks[0].kind == "lit" and toks[0].text.lower() == "not"
-        hit = _clp_clause(toks[1:] if negated else toks, dicts)
+        body = toks[1:] if negated else toks
+        hit = _clp_clause(body, dicts)
         if hit is not None:
             col, value = hit
             matched = search_clpstring_column(base, col, dicts, value, key_cols)
@@ -166,7 +256,36 @@ def kql_filter_clps(
             return base.filter(F.col(f"{col}__present")).join(
                 matched.select(*key_cols), key_cols, "left_anti"
             )
-        return base.filter(KqlCompiler(base).compile(clause))
+        # wildcard key (or bare value = pure wildcard): resolve over plain
+        # leaves AND ClpString-encoded columns; hits union (SchemaMatch
+        # expands the descriptor to an OR over concrete leaves)
+        wild = _wildcard_clause(body) if not negated else None
+        if wild is not None:
+            tokens, val_tok = wild
+            matched_clp = [
+                c for c in dicts if _match_tokens(tokens, tuple(c.split("__")))
+            ]
+            if matched_clp:
+                comp = KqlCompiler(
+                    _plain_view(base, dicts), array_json_cols=array_cols
+                )
+                pred = comp.match_pred(tokens, val_tok)
+                keys = base.filter(pred).select(*key_cols)
+                value = unescape_kql_value(val_tok.text)
+                for c in matched_clp:
+                    keys = keys.unionByName(
+                        search_clpstring_column(
+                            base, c, dicts, value, key_cols
+                        ).select(*key_cols)
+                    )
+                return base.join(
+                    keys.dropDuplicates(key_cols), key_cols, "leftsemi"
+                )
+        return base.filter(
+            KqlCompiler(
+                _plain_view(base, dicts), array_json_cols=array_cols
+            ).compile(clause)
+        )
 
     if not ops or ops[0] == "and":
         out = encoded

@@ -23,6 +23,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a (possibly few-split) input across the cluster before an
+    interpreted per-row stage. The split estimate comes from the plan's
+    input FILES — a pure driver-side catalog lookup, no RDD lineage and
+    no job. File-backed inputs with >= cores files are left alone (at
+    scale the scan already yields thousands of splits — no shuffle);
+    small or in-memory inputs repartition once."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= cores:
+        return df
+    return df.repartition(cores)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -84,12 +98,11 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     predicate-pushed below the fan-out exchange with the whole shingle
     expression inlined — one serial re-evaluation of everything in the
     scan task (measured: 8.5s -> sub-second on 5k docs)."""
-    slim = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).filter(
-        F.size(F.split(F.col(text_col), r"\s+")) >= n
+    slim = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).filter(
+            F.size(F.split(F.col(text_col), r"\s+")) >= n
+        )
     )
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < cores:
-        slim = slim.repartition(cores)
     return (
         slim.select(
             "_id",

@@ -205,8 +205,14 @@ def encode(
     keep_text: bool = False,
     var_id_mode: str = "hash",
     schema_spec=None,
+    pre_parsed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full parse->encode. Returns (encoded_df, logtype_dict, var_dict).
+
+    ``pre_parsed``: a DataFrame that already carries the slim parse
+    columns (logtype, var_types, encoded, dict_strs) — e.g. a persisted
+    ``parse(df, slim=True)`` shared across sub-epochs — skips the parse
+    stage entirely so the corpus is tokenized exactly once per partition.
 
     ``encoded_df`` columns: key_cols + passthrough + logtype_id,
     encoded_vars (array<long>), var_types (array<int>), n_vars.
@@ -223,9 +229,13 @@ def encode(
       dictionaries.assign_dense_ids + broadcast/shuffle resolve — the
       faithful-storage mode; costs a resolve join at scale.
     """
-    parsed = parse(df, text_col=text_col, slim=True, schema_spec=schema_spec)
-    # Parse once, feed the dict builds and the encode join.
-    parsed = parsed.persist()
+    if pre_parsed is not None:
+        # caller owns the persist: typically a filter over a cached parent
+        parsed = pre_parsed
+    else:
+        parsed = parse(df, text_col=text_col, slim=True, schema_spec=schema_spec)
+        # Parse once, feed the dict builds and the encode join.
+        parsed = parsed.persist()
 
     logtype_dict = dictionaries.build_logtype_dict(
         parsed, existing_logtype_dict

@@ -13,11 +13,21 @@ clp_s/search/kql/kql.cpp + FilterExpr:
   the ``col.`` prefix (clp_s NestedQuery);
 - a bare value — match against ANY string column (clp_s default-column
   search);
-- ``date("...")`` literals -> timestamps.
+- ``date("...")`` literals -> timestamps;
+- wildcard KEY tokens — a descriptor token that is exactly ``*``
+  (unescaped) matches any number of path nodes including zero
+  (clp_s/search/SchemaMatch.cpp:70-174 populate_column_mapping;
+  DescriptorToken: a token is a wildcard iff it is a single unescaped
+  ``*``, ColumnDescriptor.hpp:71-79). ``*.b > 100``, ``a.*: v`` and the
+  pure wildcard ``*: v`` compile to the OR of the predicate over every
+  type-compatible concrete leaf — zero matching leaves folds to
+  ``lit(False)`` (clp_s EmptyExpr propagation).
 
 Column references resolve against a DataFrame schema; ``a.b`` reaches
-into struct fields. Everything compiles to built-in Column expressions
-(Catalyst optimizes/pushes down; no UDFs).
+into struct fields, crosses ``array<struct>`` with ANY-element
+(``exists``) semantics, and descends flattened semistructured leaves
+(``a__b`` columns count as path ``a.b``). Everything compiles to
+built-in Column expressions (Catalyst optimizes/pushes down; no UDFs).
 """
 
 from __future__ import annotations
@@ -174,14 +184,80 @@ def _resolve_escapes(s: str) -> str:
     return "".join(out)
 
 
+def _descriptor_tokens(raw: str) -> tuple[tuple[str, bool], ...]:
+    """Column descriptor -> ((token, is_wildcard), ...).
+
+    The raw text splits on UNESCAPED dots; a token is a wildcard iff it
+    is a single unescaped ``*`` (``\\*`` is the literal star) — clp_s
+    DescriptorToken semantics (ColumnDescriptor.hpp:71-79). Consecutive
+    wildcard tokens collapse to one
+    (ColumnDescriptor::simplify_descriptor_wildcards)."""
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        raw = raw[1:-1]
+    parts: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == "\\" and i + 1 < len(raw):
+            cur.append(raw[i : i + 2])
+            i += 2
+            continue
+        if c == ".":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    out: list[tuple[str, bool]] = []
+    for p in parts:
+        wild = p == "*"
+        tok = ("*", True) if wild else (_unescape(p), False)
+        if wild and out and out[-1][1]:
+            continue  # collapse consecutive wildcards
+        out.append(tok)
+    return tuple(out)
+
+
+def _match_tokens(tokens: tuple[tuple[str, bool], ...], segs: tuple[str, ...]) -> bool:
+    """NFA match of descriptor tokens over a concrete leaf path; a
+    wildcard token consumes any number of segments including zero
+    (SchemaMatch.cpp:128-199 edge case 1)."""
+    from functools import lru_cache
+
+    n, m = len(tokens), len(segs)
+
+    @lru_cache(maxsize=None)
+    def go(i: int, j: int) -> bool:
+        if i == n:
+            return j == m
+        tok, wild = tokens[i]
+        if wild:
+            return go(i + 1, j) or (j < m and go(i, j + 1))
+        return j < m and segs[j] == tok and go(i + 1, j + 1)
+
+    return go(0, 0)
+
+
 # --- parser / compiler --------------------------------------------------------
 
 
 class KqlCompiler:
     """One-pass recursive-descent parser that emits a Column directly."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, array_json_cols: set[str] | None = None):
+        """``array_json_cols``: columns holding UNSTRUCTURED arrays as JSON
+        text (semistructured.T_ARRAY leaves — clp_s array.dict analog,
+        clp_s/archive_constants.hpp:11-24). Predicates on them (or dotted
+        paths INTO them, e.g. ``arr.b > 1000``) evaluate against the
+        array's parsed elements with ANY-element semantics, without
+        decoding the rest of the record (golden behavior
+        tests/test-clp_s-search.cpp:182 holds with structurize on AND
+        off)."""
         self.df = df
+        self.array_json_cols = set(array_json_cols or ())
+        self._leaves_cache = None
         self._string_cols = [
             f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
         ]
@@ -191,7 +267,7 @@ class KqlCompiler:
     def compile(self, kql: str) -> Column:
         self.toks = _lex(kql)
         self.pos = 0
-        col = self._query(prefix="")
+        col = self._query(prefix=())
         if self.pos != len(self.toks):
             raise ValueError(f"trailing KQL tokens: {self.toks[self.pos:]}")
         return col
@@ -212,18 +288,84 @@ class KqlCompiler:
     def _is_kw(t: Tok | None, kw: str) -> bool:
         return t is not None and t.kind == "lit" and t.text.lower() == kw
 
-    def _field(self, prefix: str, name: str) -> Column:
-        return F.col(prefix + name if prefix else name)
-
-    def _pred_on_path(self, prefix: str, name: str, leaf_pred) -> Column:
-        """Apply ``leaf_pred`` (Column -> Column) at a dotted path. When
-        the path crosses an ``array<struct>`` column (a structurized array,
-        semistructured.T_SARRAY), the predicate becomes ``exists`` over the
-        elements — clp_s structurize_arrays semantics: a record matches if
-        ANY element matches (tests/test-clp_s-search.cpp:182)."""
+    def _pred_on_path(
+        self,
+        tokens: tuple[tuple[str, bool], ...],
+        leaf_pred,
+        numeric_only: bool = False,
+        type_ok=None,
+    ) -> Column:
+        """Apply ``leaf_pred(col, leaf_type)`` at a descriptor. With
+        wildcard tokens the descriptor resolves against the schema to the
+        OR over every matching concrete leaf (SchemaMatch.cpp:70-174);
+        ``type_ok(leaf_simple_type)`` prunes type-incompatible leaves
+        (clp_s matches_type — under Spark ANSI semantics an incompatible
+        literal/column comparison is a hard error, so pruning is
+        mandatory, not an optimization). Literal descriptors keep legacy
+        untyped behavior (leaf_type=None). When a literal path crosses an
+        ``array<struct>`` column (a structurized array,
+        semistructured.T_SARRAY), the predicate becomes ``exists`` over
+        the elements — clp_s structurize_arrays semantics: a record
+        matches if ANY element matches (tests/test-clp_s-search.cpp:182)."""
         from pyspark.sql.types import ArrayType, StructType
 
-        full = prefix + name if prefix else name
+        has_wild = any(w for _, w in tokens)
+        literal_segs = None if has_wild else tuple(t for t, _ in tokens)
+        allowed = self._NUMERIC_LEAF if numeric_only else self._ATOMIC_LEAF
+        preds: list[Column] = []
+
+        # 1) concrete schema leaves (incl. flattened a__b and struct /
+        #    array<struct> descents)
+        for segs, top, rest, leaf_type in self._schema_leaves():
+            if has_wild:
+                if (
+                    leaf_type not in allowed
+                    or (type_ok is not None and not type_ok(leaf_type))
+                    or not _match_tokens(tokens, segs)
+                ):
+                    continue
+            elif segs != literal_segs:
+                continue
+            lt = leaf_type if has_wild else None
+            if not rest and top in self.array_json_cols:
+                preds.append(
+                    self._array_json_pred(top, (), leaf_pred, numeric_only)
+                )
+            else:
+                preds.append(self._apply_at(top, rest, leaf_pred, lt))
+
+        # 2) paths INTO unstructured (JSON-text) arrays: descriptor =
+        #    <tokens matching the array column> . <literal sub-path>
+        for col_name in self.array_json_cols:
+            segs = tuple(col_name.split("__"))
+            for i in range(len(tokens) - 1, -1, -1):
+                head, tail = tokens[:i], tokens[i:]
+                if any(w for _, w in tail):
+                    break  # wildcards inside the element sub-path: unsupported
+                if not tail or not _match_tokens(head, segs):
+                    continue
+                preds.append(
+                    self._array_json_pred(
+                        col_name,
+                        tuple(t for t, _ in tail),
+                        leaf_pred,
+                        numeric_only,
+                    )
+                )
+                break  # longest literal sub-path wins; one pred per column
+
+        if preds:
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
+        if has_wild:
+            # zero matching leaves -> EmptyExpr (SchemaMatch.cpp:70-97)
+            return F.lit(False)
+
+        # literal fallback: unresolved names keep their original
+        # analysis-time error semantics (plus legacy struct-walk paths)
+        full = ".".join(t for t, _ in tokens)
         parts = full.split(".")
         cur: object = self.df.schema
         for i, p in enumerate(parts):
@@ -242,15 +384,119 @@ class KqlCompiler:
                     c = e
                     for seg in rest:
                         c = c[seg]
-                    return leaf_pred(c)
+                    return leaf_pred(c, None)
 
                 return F.exists(arr, _elem_pred)
             cur = dt
-        return leaf_pred(F.col(full))
+        return leaf_pred(F.col(full), None)
+
+    def _array_json_pred(
+        self,
+        col_name: str,
+        subpath: tuple[str, ...],
+        leaf_pred,
+        numeric: bool,
+    ) -> Column:
+        """ANY-element predicate over a JSON-text array column — the
+        search side of clp_s's array.dict: elements are parsed with a
+        minimal schema derived from the QUERY (sub-path + predicate
+        kind), so no inference pass and no full decode. Single-object
+        values wrap as one-element arrays (both shapes match, like
+        structurize mode)."""
+        raw = F.col(col_name).cast("string")
+        wrapped = F.when(raw.rlike(r"^\s*\["), raw).otherwise(
+            F.concat(F.lit("["), raw, F.lit("]"))
+        )
+        leaf_t = "double" if numeric else "string"
+        if subpath:
+            inner = leaf_t
+            for seg in reversed(subpath):
+                inner = f"struct<`{seg}`:{inner}>"
+            parsed = F.from_json(wrapped, f"array<{inner}>")
+
+            def _elem(e: Column) -> Column:
+                c = e
+                for seg in subpath:
+                    c = c[seg]
+                return leaf_pred(c, leaf_t)
+
+            return F.exists(parsed, _elem)
+        parsed = F.from_json(wrapped, f"array<{leaf_t}>")
+        return F.exists(parsed, lambda e: leaf_pred(e, leaf_t))
+
+    # -- wildcard-key resolution (SchemaMatch analog) -----------------------
+
+    _NUMERIC_LEAF = (
+        "byte", "short", "int", "bigint", "float", "double", "date",
+        "timestamp", "timestamp_ntz", "decimal",
+    )
+    _ATOMIC_LEAF = (*_NUMERIC_LEAF, "string", "boolean")
+
+    def _schema_leaves(self) -> list[tuple[tuple[str, ...], str, tuple[str, ...], str]]:
+        """Concrete value leaves of the DataFrame schema:
+        ``(path_segments, top_column, struct_steps, leaf_simple_type)``.
+        Flattened semistructured columns (``a__b``) contribute their
+        dotted path (``a.b``); struct fields and array<struct> element
+        fields descend one segment per level (array crossings keep
+        ANY-element semantics in _apply_at); array<scalar> leaves report
+        their ELEMENT type (a predicate on them matches if any element
+        matches — the unstructured-array value search)."""
+        from pyspark.sql.types import ArrayType, StructType
+
+        if getattr(self, "_leaves_cache", None) is not None:
+            return self._leaves_cache
+        out: list[tuple[tuple[str, ...], str, tuple[str, ...], str]] = []
+
+        def walk(dtype, segs: tuple[str, ...], top: str, rest: tuple[str, ...]):
+            if isinstance(dtype, StructType):
+                for f in dtype.fields:
+                    walk(f.dataType, segs + (f.name,), top, rest + (f.name,))
+                return
+            if isinstance(dtype, ArrayType):
+                elem = dtype.elementType
+                if isinstance(elem, StructType):
+                    for f in elem.fields:
+                        walk(f.dataType, segs + (f.name,), top, rest + (f.name,))
+                    return
+                if isinstance(elem, ArrayType):
+                    return  # nested scalar matrices: not a value leaf
+                out.append((segs, top, rest, elem.simpleString().split("(")[0]))
+                return
+            out.append((segs, top, rest, dtype.simpleString().split("(")[0]))
+
+        for f in self.df.schema.fields:
+            walk(f.dataType, tuple(f.name.split("__")), f.name, ())
+        self._leaves_cache = out
+        return out
+
+    def _apply_at(
+        self, top: str, rest: tuple[str, ...], leaf_pred, leaf_type: str | None = None
+    ) -> Column:
+        """leaf_pred at a RESOLVED leaf: walk the real schema from column
+        ``top`` through ``rest``; each array<struct> crossing becomes
+        ``exists`` (any element), and an array<scalar> leaf applies the
+        predicate per element via ``exists``."""
+        from pyspark.sql.types import ArrayType, StructType
+
+        def walk(col: Column, dtype, parts: tuple[str, ...]) -> Column:
+            if isinstance(dtype, ArrayType):
+                elem = dtype.elementType
+                if parts and isinstance(elem, StructType):
+                    p, more = parts[0], parts[1:]
+                    sub = elem[p].dataType
+                    return F.exists(col, lambda e: walk(e[p], sub, more))
+                if not parts and not isinstance(elem, (StructType, ArrayType)):
+                    return F.exists(col, lambda e: leaf_pred(e, leaf_type))
+            if not parts:
+                return leaf_pred(col, leaf_type)
+            p, more = parts[0], parts[1:]
+            return walk(col[p], dtype[p].dataType, more)
+
+        return walk(F.col(top), self.df.schema[top].dataType, rest)
 
     # grammar --------------------------------------------------------------
 
-    def _query(self, prefix: str) -> Column:
+    def _query(self, prefix: tuple) -> Column:
         # NOT / atom, then left-assoc (AND|OR) chain at EQUAL precedence
         left = self._unary(prefix)
         while True:
@@ -264,7 +510,7 @@ class KqlCompiler:
             else:
                 return left
 
-    def _unary(self, prefix: str) -> Column:
+    def _unary(self, prefix: tuple) -> Column:
         t = self._peek()
         if self._is_kw(t, "not"):
             self._next()
@@ -281,7 +527,7 @@ class KqlCompiler:
         if t.text != text:
             raise ValueError(f"expected {text!r}, got {t.text!r}")
 
-    def _expression(self, prefix: str) -> Column:
+    def _expression(self, prefix: tuple) -> Column:
         t = self._next()
         if t.kind not in ("lit", "quoted"):
             raise ValueError(f"unexpected token {t.text!r}")
@@ -289,26 +535,24 @@ class KqlCompiler:
         if nxt is not None and nxt.kind == "range_op":
             op = self._next().text
             val = self._next()
-            return self._range(prefix, _unescape(t.text), op, val)
+            return self._range(prefix + _descriptor_tokens(t.text), op, val)
         if nxt is not None and nxt.kind == "punct" and nxt.text == ":":
             self._next()
-            name = _unescape(t.text)
+            tokens = prefix + _descriptor_tokens(t.text)
             after = self._peek()
             if after is not None and after.text == "{":
                 self._next()
-                inner = self._query(prefix=f"{prefix}{name}.")
+                inner = self._query(prefix=tokens)
                 self._expect("}")
                 return inner
             if after is not None and after.text == "(":
-                return self._value_list(prefix, name)
+                return self._value_list(tokens)
             val = self._next()
-            return self._pred_on_path(
-                prefix, name, lambda c: self._match(c, val)
-            )
+            return self.match_pred(tokens, val)
         # bare value: match any string column (default-column search)
         return self._any_column_match(t)
 
-    def _value_list(self, prefix: str, name: str) -> Column:
+    def _value_list(self, tokens: tuple) -> Column:
         self._expect("(")
         mode = "or"
         t = self._peek()
@@ -323,9 +567,7 @@ class KqlCompiler:
                 self._next()
                 break
             val = self._next()
-            parts.append(
-                self._pred_on_path(prefix, name, lambda c, v=val: self._match(c, v))
-            )
+            parts.append(self.match_pred(tokens, val))
         if not parts:
             return F.lit(False)
         out = parts[0]
@@ -338,13 +580,53 @@ class KqlCompiler:
                 out = out | p
         return ~out if mode == "not" else out
 
-    def _range(self, prefix: str, name: str, op: str, val: Tok) -> Column:
+    def _range(self, tokens: tuple, op: str, val: Tok) -> Column:
         v = self._literal_value(val)
 
-        def leaf(c: Column) -> Column:
+        def leaf(c: Column, leaf_type: str | None = None) -> Column:
             return {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
 
-        return self._pred_on_path(prefix, name, leaf)
+        if val.kind == "date":
+            allowed = {"timestamp", "timestamp_ntz", "date"}
+        elif val.kind != "quoted" and _NUM_RE.match(_unescape(val.text)):
+            allowed = {"byte", "short", "int", "bigint", "float", "double", "decimal"}
+        else:
+            allowed = {"string"}
+        return self._pred_on_path(
+            tokens, leaf, numeric_only=True, type_ok=lambda lt: lt in allowed
+        )
+
+    def match_pred(self, tokens: tuple, val: Tok) -> Column:
+        """``descriptor : value`` predicate with type-compatible leaf
+        pruning for wildcard descriptors (clp_s matches_type)."""
+        return self._pred_on_path(
+            tokens,
+            lambda c, lt=None, v=val: self._match(c, v, leaf_type=lt),
+            type_ok=self._match_type_ok(val),
+        )
+
+    def _match_type_ok(self, t: Tok):
+        """Leaf types a ``: value`` literal can live on — wildcard-key
+        resolution skips the rest (an int literal never tests a boolean
+        leaf etc.; under ANSI those comparisons would be errors)."""
+        if t.kind == "date":
+            allowed = {"timestamp", "timestamp_ntz", "date"}
+            return lambda lt: lt in allowed
+        v = unescape_kql_value(t.text)
+        if _has_unescaped_wildcard(v):
+            allowed = {"string"}
+        else:
+            s = _resolve_escapes(v)
+            allowed = {"string"}
+            if t.kind != "quoted":
+                if _NUM_RE.match(s):
+                    allowed |= {
+                        "byte", "short", "int", "bigint", "float", "double",
+                        "decimal",
+                    }
+                if s.lower() in ("true", "false"):
+                    allowed |= {"boolean"}
+        return lambda lt: lt in allowed
 
     def _literal_value(self, t: Tok):
         if t.kind == "date":
@@ -355,7 +637,7 @@ class KqlCompiler:
             return F.lit(float(s)) if ("." in s or "e" in s.lower()) else F.lit(int(s))
         return F.lit(s)
 
-    def _match(self, col: Column, t: Tok) -> Column:
+    def _match(self, col: Column, t: Tok, leaf_type: str | None = None) -> Column:
         if t.kind == "date":
             return col == self._literal_value(t)
         # clp_s value semantics: unescape keeps \\ \* \? escaped; wildcards
@@ -371,6 +653,18 @@ class KqlCompiler:
                 wildcard_to_regex(clean_up_wildcard_search_string(v))
             )
         s = _resolve_escapes(v)
+        if leaf_type is not None:
+            # typed comparison on a wildcard-resolved leaf: the literal
+            # takes the leaf's type (numeric on numeric, string on string,
+            # bool on bool) — never a cross-type cast
+            if leaf_type == "string":
+                return col == F.lit(s)
+            if leaf_type == "boolean":
+                return col == F.lit(s.lower() == "true")
+            if t.kind != "quoted" and _NUM_RE.match(s):
+                num = float(s) if ("." in s or "e" in s.lower()) else int(s)
+                return col == F.lit(num)
+            return F.lit(False)
         if t.kind != "quoted" and _NUM_RE.match(s):
             num = float(s) if ("." in s or "e" in s.lower()) else int(s)
             return col == F.lit(num)
@@ -385,6 +679,19 @@ class KqlCompiler:
         return out
 
 
-def kql_filter(df: DataFrame, kql: str) -> DataFrame:
-    """``df.filter(<compiled kql>)``."""
-    return df.filter(KqlCompiler(df).compile(kql))
+def kql_filter(
+    df: DataFrame, kql: str, array_cols: set[str] | None = None
+) -> DataFrame:
+    """``df.filter(<compiled kql>)``. ``array_cols``: JSON-text
+    unstructured-array columns (see KqlCompiler)."""
+    return df.filter(KqlCompiler(df, array_json_cols=array_cols).compile(kql))
+
+
+def unstructured_array_cols(schema_tree: DataFrame) -> set[str]:
+    """Flattened column names of the UnstructuredArray leaves in an
+    encode_semistructured schema tree — feed to kql_filter(array_cols=)."""
+    return {
+        r["path"].replace(".", "__")
+        for r in schema_tree.collect()
+        if r["node_type"] == "UnstructuredArray"
+    }

@@ -169,6 +169,106 @@ def get_bounds_of_next_potential_var(value: str, begin_pos: int, end_pos: int):
     return (begin_pos != n), begin_pos, end_pos, is_var
 
 
+def get_bounds_of_next_potential_var_schema(
+    value: str, begin_pos: int, end_pos: int, schema_spec
+):
+    """Schema-file twin of get_bounds_of_next_potential_var — the
+    reference's log-surgeon query path (Grep.cpp:750-891): token
+    boundaries come from the SCHEMA's delimiter set, and a wildcard-free
+    token is a variable iff some schema rule matches it in full (the
+    forward-lexer scan). Wildcarded tokens: a ``text*`` token is a
+    variable iff ``text`` is a prefix of the rule's language
+    (scan_with_wildcard) — checked with the ``regex`` module's partial
+    matching when available; without it (and for ``*text`` /
+    mid-wildcard forms, where the reference uses a reversed DFA) the
+    token stays AMBIGUOUS, which is semantically safe: the odometer
+    enumerates both interpretations and empty dictionary probes prune
+    the wrong one. Returns (found, begin_pos, end_pos, is_var)."""
+    import re as _re
+
+    delims = set(schema_spec.delimiters + " ")
+    n = len(value)
+    if end_pos >= n:
+        return False, begin_pos, end_pos, False
+
+    def _full(tok: str) -> bool:
+        return any(
+            _re.fullmatch(f"(?:{p})", tok) is not None
+            for _name, p in schema_spec.rules
+        )
+
+    def _prefix_of_language(tok: str) -> bool | None:
+        try:
+            import regex as _rx  # optional; not in the base image
+        except ImportError:
+            return None
+        for _name, p in schema_spec.rules:
+            if _rx.fullmatch(f"(?:{p})", tok, partial=True) is not None:
+                return True
+        return False
+
+    is_var = False
+    contains_wildcard = False
+    while not is_var and not contains_wildcard and begin_pos < n:
+        begin_pos = end_pos
+        is_escaped = False
+        while begin_pos < n:
+            c = value[begin_pos]
+            if is_escaped:
+                is_escaped = False
+                if c not in delims:
+                    begin_pos -= 1
+                    break
+            elif c == "\\":
+                is_escaped = True
+            else:
+                if is_wildcard(c):
+                    contains_wildcard = True
+                    break
+                if c not in delims:
+                    break
+            begin_pos += 1
+
+        is_escaped = False
+        end_pos = begin_pos
+        while end_pos < n:
+            c = value[end_pos]
+            if is_escaped:
+                is_escaped = False
+                if c in delims:
+                    end_pos -= 1
+                    break
+            elif c == "\\":
+                is_escaped = True
+            else:
+                if is_wildcard(c):
+                    contains_wildcard = True
+                elif c in delims:
+                    break
+            end_pos += 1
+
+        if end_pos > begin_pos:
+            tok = value[begin_pos:end_pos]
+            has_prefix_w = tok[0] in "*?"
+            has_suffix_w = tok[-1] in "*?"
+            mid = any(
+                tok[i] in "*?" and tok[i - 1] != "\\"
+                for i in range(1, len(tok) - 1)
+            )
+            if mid or (has_prefix_w and has_suffix_w) or has_prefix_w:
+                pass  # ambiguous (reference: reversed-DFA cases)
+            elif has_suffix_w:
+                hit = _prefix_of_language(tok[:-1])
+                if hit:
+                    is_var = True
+                # None (no regex module) or False: stays ambiguous/constant
+                # exactly like the DO-NOTHING branch
+            else:
+                is_var = _full(tok)
+
+    return begin_pos != n, begin_pos, end_pos, is_var
+
+
 class QueryToken:
     """Port of the QueryToken classification (Grep.cpp:92-172)."""
 
@@ -396,11 +496,18 @@ def compile_query(
     ignore_case: bool = False,
     max_literal_ids: int = ISIN_MAX_IDS,
     wrap: bool = True,
+    schema_spec=None,
 ) -> CompiledQuery:
     """Grep::process_raw_query (Grep.cpp:499-628). ``wrap=True`` is clp's
     CLI substring-grep convention (query wrapped in ``*...*``);
     ``wrap=False`` matches the full message — clp_s KQL value semantics
-    (clp_s/search/kql/kql.cpp unquote_literal, no implicit stars)."""
+    (clp_s/search/kql/kql.cpp unquote_literal, no implicit stars).
+
+    ``schema_spec``: when the corpus was ingested with a schema file, the
+    QUERY must be tokenized with the same schema (delimiters + rules), not
+    the heuristic — the reference switches Grep to the log-surgeon lexer
+    pair for this (Grep.cpp:750-891); a heuristic-tokenized query can
+    split tokens the schema kept whole and miss every row."""
     if wrap:
         search_string = "*" + search_string + "*"
     processed = clean_up_wildcard_search_string(search_string)
@@ -412,7 +519,14 @@ def compile_query(
     tokens: list[QueryToken] = []
     begin = end = 0
     while True:
-        found, begin, end, is_var = get_bounds_of_next_potential_var(for_subqueries, begin, end)
+        if schema_spec is not None:
+            found, begin, end, is_var = get_bounds_of_next_potential_var_schema(
+                for_subqueries, begin, end, schema_spec
+            )
+        else:
+            found, begin, end, is_var = get_bounds_of_next_potential_var(
+                for_subqueries, begin, end
+            )
         if not found:
             break
         tokens.append(QueryToken(for_subqueries, begin, end, is_var))
@@ -645,12 +759,14 @@ def search_text(
     ignore_case: bool = False,
     max_literal_ids: int = ISIN_MAX_IDS,
     wrap: bool = True,
+    schema_spec=None,
     **kw,
 ) -> DataFrame:
-    """Compile + execute in one call."""
+    """Compile + execute in one call. Pass the ingest ``schema_spec`` for
+    schema-file corpora so the query tokenizes with the same lexer."""
     compiled = compile_query(
         query, logtype_dict, var_dict, ignore_case=ignore_case,
-        max_literal_ids=max_literal_ids, wrap=wrap,
+        max_literal_ids=max_literal_ids, wrap=wrap, schema_spec=schema_spec,
     )
     return search(encoded, logtype_dict, var_dict, compiled, key_cols, **kw)
 

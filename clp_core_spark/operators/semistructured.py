@@ -145,8 +145,9 @@ def encode_semistructured(
             aggs.append(
                 F.max(F.col(name).cast("string").contains(" ")).alias(f"sp_{name}")
             )
-        if structurize_arrays and isinstance(dtype, (StringType, ArrayType)):
             # all non-null values are JSON containers ({...} or [...])?
+            # (drives structurize-candidate detection AND UnstructuredArray
+            # classification of inference-widened mixed container columns)
             aggs.append(
                 F.max(
                     F.when(~F.col(name).cast("string").rlike(r"^[\[{]"), 1)
@@ -177,6 +178,14 @@ def encode_semistructured(
             elem_schema = spark.read.json(sample.rdd.map(lambda r: r[0])).schema
             if not (isinstance(elem_schema, StructType) and elem_schema.fields):
                 continue  # array of scalars: stays UnstructuredArray
+            corrupt = spark.conf.get(
+                "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+            )
+            if all(f.name == corrupt for f in elem_schema.fields):
+                # scalar arrays like [1, 2]: inference yields only the
+                # corrupt-record column; re-parsing as array<struct> would
+                # null every row — keep the leaf UnstructuredArray
+                continue
             flat = flat.withColumn(
                 name, F.from_json(wrapped, ArrayType(elem_schema))
             )
@@ -187,6 +196,16 @@ def encode_semistructured(
         name = path.replace(".", "__")
         if name in structurized:
             tree_rows.append((path, T_SARRAY, int(stats[f"n_{name}"])))
+            continue
+        if (
+            isinstance(dtype, StringType)
+            and int(stats[f"n_{name}"]) > 0
+            and stats[f"nj_{name}"] == 0
+        ):
+            # inference widened mixed [..]/{..} shapes to a string column;
+            # every value is a JSON container -> clp_s stores these in the
+            # array dict (UnstructuredArray), searchable by element
+            tree_rows.append((path, T_ARRAY, int(stats[f"n_{name}"])))
             continue
         has_space = (
             bool(stats[f"sp_{name}"])

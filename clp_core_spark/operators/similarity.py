@@ -147,6 +147,7 @@ def cosine_near_pairs(
     num_planes: int = 16,
     max_hamming: int = 4,
     chunks: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine(a, b) >= ``threshold``,
     with candidate generation by hyperplane-signature Hamming blocking
@@ -159,16 +160,18 @@ def cosine_near_pairs(
     Hamming cutoff is a recall-complete pre-filter at the near-dup margin
     (same blocking shape as dedup.simhash_near_pairs — linear shuffle of
     (chunk, id), never all-pairs)."""
+    from clp_core_spark.operators.dedup import fan_out
+
     if chunks is None:
         chunks = max_hamming + 1
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # prefer passing dim explicitly — this fallback is one driver
+        # first() (a tiny limit-1 job) just to size the hyperplanes
+        dim = len(df.select(vec_col).first()[0])
     # signature math is interpreted (HOF dot products); a small input left
     # in 1-4 scan splits would compute it single-threaded — fan out first
     # (no-op at scale, where the scan yields many splits)
-    src = df
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        src = src.repartition(cores)
+    src = fan_out(df)
     sig = src.select(
         F.col(id_col).alias("_id"),
         hyperplane_signature(F.col(vec_col), dim, num_planes).alias("_sig"),

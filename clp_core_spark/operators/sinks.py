@@ -49,6 +49,7 @@ def reconstruct_log_files(
     messages: DataFrame,
     text_col: str = "text",
     out_col: str = "content",
+    max_file_bytes: int = 256 << 20,
 ) -> DataFrame:
     """(path, msg_idx, ts, pattern_id, <text_col>) -> (path, content):
     re-insert each message's formatted timestamp at its pattern's
@@ -56,27 +57,42 @@ def reconstruct_log_files(
     ingest order — the FileDecompressor path
     (clp/clp/FileDecompressor.cpp:1-77 + TimestampPattern::
     insert_formatted_timestamp). Byte-exact inverse of
-    sources.raw_text.read_log_files for content the pattern bank parses.
+    sources.raw_text.read_log_files for '\\n'-delimited content the
+    pattern bank parses, EXCEPT that a single trailing newline is not
+    restored (the source consumes it); '\\r' in CRLF input is preserved
+    as message content, so CRLF files do reconstruct byte-equal.
 
     One file is one group (collect_list holds a file's messages in one
     executor's memory) — the file is the parallelism unit here exactly as
-    in the source; for multi-GB single files, write per-message lines via
-    decompress_to_text instead."""
+    in the source. Files whose reconstructed content would exceed
+    ``max_file_bytes`` raise at runtime instead of OOMing an executor:
+    write multi-GB files per-message via decompress_to_text."""
     from clp_core_spark.functions.timestamps import insert_timestamp
 
     line = insert_timestamp(
         F.col(text_col), F.col("ts"), F.col("pattern_id")
     )
     per = messages.select("path", "msg_idx", line.alias("_line"))
-    return per.groupBy("path").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("msg_idx", "_line"))),
-                lambda s: s["_line"],
-            ),
-            "\n",
-        ).alias(out_col)
+    content = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("msg_idx", "_line"))),
+            lambda s: s["_line"],
+        ),
+        "\n",
     )
+    guarded = F.when(
+        F.sum(F.octet_length("_line")) <= F.lit(max_file_bytes), content
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("reconstruct_log_files: file "),
+                F.col("path"),
+                F.lit(f" exceeds max_file_bytes={max_file_bytes};"
+                      " use decompress_to_text for multi-GB files"),
+            )
+        )
+    )
+    return per.groupBy("path").agg(guarded.alias(out_col))
 
 
 def reconstruct_json(

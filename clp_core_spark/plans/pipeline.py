@@ -82,6 +82,7 @@ class IngestPipeline:
         self.write_glt = write_glt
         self.dict_budget = dict_budget
         self.ledger_path = f"{work_root}/ledger"
+        self.ts_index_path = f"{work_root}/ts_index"
         self.dicts_path = f"{work_root}/dicts"
         self.sinks_root = f"{work_root}/sinks"
         self.glt_root = f"{work_root}/glt"
@@ -103,14 +104,22 @@ class IngestPipeline:
         ).collect()
         return {r["partition_id"] for r in rows if r["n"] >= r["want"]}
 
-    def done_sub_epochs(self, partition_id: int) -> set[int]:
-        return {
-            r["sub_epoch"]
-            for r in self.ledger()
+    def committed_sub_epochs(self, partition_id: int) -> tuple[set[int], int | None]:
+        """(committed sub_epoch ids, the n_subs they were committed under).
+
+        On crash-resume the row split MUST reuse the committed n_subs:
+        committed sub-epochs already grew the dictionaries, so recomputing
+        the dict delta yields a smaller n_subs and a *different*
+        pmod(xxhash64, n_subs) split — rows would be duplicated into new
+        epoch_parts or silently dropped."""
+        rows = (
+            self.ledger()
             .filter(F.col("partition_id") == partition_id)
-            .select("sub_epoch")
+            .select("sub_epoch", "n_subs")
             .collect()
-        }
+        )
+        subs = {r["sub_epoch"] for r in rows}
+        return subs, (max(r["n_subs"] for r in rows) if rows else None)
 
     def _append_ledger(self, row: dict) -> None:
         self.spark.createDataFrame([row], LEDGER_SCHEMA).write.mode("append").parquet(
@@ -143,11 +152,13 @@ class IngestPipeline:
             self._run_partition(df.filter(F.col("_epoch_part") == p).drop("_epoch_part"), p)
         return self.ledger()
 
-    def _dict_delta(self, part_df: DataFrame, lt_existing, var_existing) -> int:
+    def _dict_delta(self, parsed: DataFrame, lt_existing, var_existing) -> int:
         """NEW dictionary entries this partition would add (logtypes +
         vars) — the rollover trigger (clp/clp/compression.cpp:137-140
-        checks dictionary size against the target archive size)."""
-        parsed = encode_pipeline.parse(part_df, slim=True)
+        checks dictionary size against the target archive size).
+        ``parsed`` is the partition's (persisted) slim parse — the SAME
+        relation the sub-epoch encodes read, so the corpus is tokenized
+        once, not twice, on the dict-budget path."""
         new_lt = parsed.select("logtype").distinct()
         if lt_existing is not None:
             new_lt = new_lt.join(lt_existing, "logtype", "left_anti")
@@ -165,25 +176,48 @@ class IngestPipeline:
         var_existing = self._load_dict("var")
 
         n_subs = 1
+        done_subs: set[int] = set()
+        parsed = None
         if self.dict_budget is not None:
-            delta = self._dict_delta(part_df, lt_existing, var_existing)
-            n_subs = max(1, -(-delta // self.dict_budget))  # ceil
-
-        done_subs = self.done_sub_epochs(partition_id) if n_subs > 1 else set()
-        for sub in range(n_subs):
-            if sub in done_subs:
-                continue
-            if n_subs == 1:
-                sub_df = part_df
+            done_subs, committed_n_subs = self.committed_sub_epochs(partition_id)
+            # ONE tokenize pass per partition: the delta count and every
+            # sub-epoch encode all read this persisted parse
+            parsed = encode_pipeline.parse(part_df, slim=True).persist()
+            if committed_n_subs is not None:
+                # resume: the split is pinned to the n_subs the committed
+                # sub-epochs used — never recompute from the (now-shrunken)
+                # dictionary delta (see committed_sub_epochs docstring)
+                n_subs = committed_n_subs
             else:
-                # deterministic row split: re-runs see identical sub-epochs
-                sub_df = part_df.filter(
-                    F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_subs)) == sub
+                delta = self._dict_delta(parsed, lt_existing, var_existing)
+                n_subs = max(1, -(-delta // self.dict_budget))  # ceil
+        try:
+            for sub in range(n_subs):
+                if sub in done_subs:
+                    continue
+                src = parsed if parsed is not None else part_df
+                if n_subs == 1:
+                    sub_df = src
+                else:
+                    # deterministic row split: re-runs see identical sub-epochs
+                    sub_df = src.filter(
+                        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_subs)) == sub
+                    )
+                self._run_sub_epoch(
+                    sub_df, partition_id, sub, n_subs,
+                    is_parsed=parsed is not None,
                 )
-            self._run_sub_epoch(sub_df, partition_id, sub, n_subs)
+        finally:
+            if parsed is not None:
+                parsed.unpersist()
 
     def _run_sub_epoch(
-        self, part_df: DataFrame, partition_id: int, sub_epoch: int, n_subs: int
+        self,
+        part_df: DataFrame,
+        partition_id: int,
+        sub_epoch: int,
+        n_subs: int,
+        is_parsed: bool = False,
     ) -> None:
         t0 = time.time()
         lt_existing = self._load_dict("logtype")
@@ -198,6 +232,7 @@ class IngestPipeline:
             existing_logtype_dict=lt_existing,
             existing_var_dict=var_existing,
             var_id_mode=self.var_id_mode,
+            pre_parsed=part_df if is_parsed else None,
         )
         enriched = enrich.enrich(
             encoded, transcripts.role_dim(self.spark), transcripts.tool_dim(self.spark)
@@ -210,6 +245,29 @@ class IngestPipeline:
         stats = part_df.agg(
             F.count("*").alias("n"), F.min("ts").alias("mn"), F.max("ts").alias("mx")
         ).collect()[0]
+
+        # per-pattern timestamp index (clp_s timestamp dictionary:
+        # TimestampEntry.hpp:58-95 keeps min/max PER PATTERN; queries are
+        # proven false pattern-by-pattern, EvaluateTimestampIndex.cpp).
+        # Inputs without a pattern_id column index as one pattern (-1).
+        pat_col = (
+            F.col("pattern_id").cast("int")
+            if "pattern_id" in part_df.columns
+            else F.lit(-1)
+        )
+        pat_rows = (
+            part_df.groupBy(pat_col.alias("pattern_id"))
+            .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+            .collect()
+        )
+        self.spark.createDataFrame(
+            [
+                (partition_id, sub_epoch, r["pattern_id"], r["min_ts"], r["max_ts"])
+                for r in pat_rows
+            ],
+            "partition_id int, sub_epoch int, pattern_id int,"
+            " min_ts timestamp, max_ts timestamp",
+        ).write.mode("append").parquet(self.ts_index_path)
 
         n_routed = 0
         for kind in route.SINK_KINDS:
@@ -261,20 +319,53 @@ class IngestPipeline:
 
     # -- query-time pruning + search ----------------------------------------
 
+    def ts_index(self) -> DataFrame | None:
+        """(partition_id, sub_epoch, pattern_id, min_ts, max_ts) — the
+        timestamp dictionary (one span per pattern per epoch), None for
+        work dirs written before the index existed."""
+        try:
+            return self.spark.read.parquet(self.ts_index_path)
+        except Exception:  # noqa: BLE001 — legacy work dir / nothing ingested
+            return None
+
     def epochs_for_range(
         self, ts_begin_ms: int | None = None, ts_end_ms: int | None = None
     ) -> list[int]:
-        """Sink epoch_part values whose ledger [input_min_ts, input_max_ts]
-        overlaps the query range — CLP's scheduler prunes archives by time
-        range before dispatching any task
-        (job_orchestration/.../query_scheduler.py:369-397)."""
-        rows = self.ledger().select(
-            "partition_id", "sub_epoch",
-            F.unix_millis(F.col("input_min_ts").cast("timestamp")).alias("mn"),
-            F.unix_millis(F.col("input_max_ts").cast("timestamp")).alias("mx"),
-        ).collect()
+        """Sink epoch_part values the query range cannot be proven false
+        for. Per-PATTERN spans prove more ranges false than the epoch's
+        overall [min, max]: a range falling in the gap between two
+        patterns' spans skips the epoch even though it overlaps the union
+        span — clp_s EvaluateTimestampIndex over the timestamp dictionary
+        (clp_s/TimestampEntry.hpp:58-95). Falls back to the ledger's
+        epoch-level span for legacy work dirs; CLP's scheduler analog:
+        job_orchestration/.../query_scheduler.py:369-397."""
+        idx = self.ts_index()
+        if idx is not None:
+            # only COMMITTED sub-epochs count: a crash between the index
+            # append and the ledger commit leaves orphan index rows whose
+            # sink directories don't exist (the re-run rewrites both)
+            committed = {
+                (r["partition_id"], r["sub_epoch"])
+                for r in self.ledger().select("partition_id", "sub_epoch").collect()
+            }
+            rows = [
+                r
+                for r in idx.select(
+                    "partition_id", "sub_epoch",
+                    F.unix_millis(F.col("min_ts")).alias("mn"),
+                    F.unix_millis(F.col("max_ts")).alias("mx"),
+                ).collect()
+                if (r["partition_id"], r["sub_epoch"]) in committed
+            ]
+        else:
+            rows = self.ledger().select(
+                "partition_id", "sub_epoch",
+                F.unix_millis(F.col("input_min_ts").cast("timestamp")).alias("mn"),
+                F.unix_millis(F.col("input_max_ts").cast("timestamp")).alias("mx"),
+            ).collect()
         out = []
         for r in rows:
+            # an epoch survives if ANY of its pattern spans overlaps
             if ts_end_ms is not None and r["mn"] is not None and r["mn"] > ts_end_ms:
                 continue
             if ts_begin_ms is not None and r["mx"] is not None and r["mx"] < ts_begin_ms:

@@ -116,6 +116,11 @@ class TableStore:
         first-level partition directories (structural pruning) when the
         filter's first key is the leading partition column, and pushes
         the rest as predicates."""
+        if partition_filter and any(len(list(v)) == 0 for v in partition_filter.values()):
+            # e.g. a time range overlapping no ledger epoch: zero selected
+            # partitions must mean an EMPTY result, not a zero-path read
+            # error — keep the table schema, let the optimizer collapse it
+            return self.read(table).where(F.lit(False))
         if self.format == "iceberg":
             df = self.spark.read.table(self._qualified(table))
             for col, values in (partition_filter or {}).items():

@@ -98,8 +98,11 @@ def _parse_lines(lines: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
             continue
         c = cand[hit]
         if epoch_ms:
+            # tolerant: digit runs too long for int64 (e.g. a 23-digit ID)
+            # coerce to NaN/out-of-bounds -> NaT and fall through as
+            # unmatched, matching the Spark twin's cast("long") nulling
             parsed = pd.to_datetime(
-                c.astype("int64"), unit="ms", errors="coerce"
+                pd.to_numeric(c, errors="coerce"), unit="ms", errors="coerce"
             )
         else:
             norm = c.str.replace("  +", " ", regex=True) if collapse else c
@@ -126,7 +129,13 @@ def _messages_frame(paths: list[str], contents: list[str]) -> pd.DataFrame:
     file_ix: list[int] = []
     all_lines: list[str] = []
     for i, content in enumerate(contents):
-        ls = content.splitlines()
+        # strict '\n' delimiter (CLP's only boundary): '\r' and unicode
+        # line separators stay IN the message text, so CRLF files
+        # reconstruct byte-equal. A single trailing '\n' is consumed
+        # (same as the reference's newline-terminated message).
+        ls = content.split("\n")
+        if ls and ls[-1] == "":
+            ls.pop()
         file_ix.extend([i] * len(ls))
         all_lines.append(ls)
     flat = [line for ls in all_lines for line in ls]

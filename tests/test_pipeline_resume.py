@@ -160,6 +160,108 @@ def test_ledger_time_pruned_search(spark, work_root):
     shifted.unpersist()
 
 
+def test_per_pattern_ts_index_prunes_gaps(spark, work_root):
+    """The timestamp index keeps min/max PER PATTERN (clp_s
+    TimestampEntry.hpp:58-95): a query range falling in the gap between
+    two patterns' spans is proven false and scans ZERO files, even though
+    it overlaps the epoch's union [min, max] (which the coarse ledger
+    span could not prune)."""
+    from datetime import timezone
+
+    from clp_core_spark.sources.transcripts import generate_transcripts
+
+    def ms(dt):
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+    t = generate_transcripts(spark, num_turns=2000, seed=11)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    src = t.withColumn(
+        "pattern_id", F.when(half, F.lit(3)).otherwise(F.lit(7))
+    ).withColumn(
+        "ts",
+        F.when(half, F.col("ts")).otherwise(
+            F.col("ts") + F.expr("INTERVAL 3650 DAYS")
+        ),
+    )
+    pipe = IngestPipeline(spark, work_root, num_partitions=1)
+    pipe.run(src)
+
+    idx = {
+        r["pattern_id"]: (r["min_ts"], r["max_ts"])
+        for r in pipe.ts_index().collect()
+    }
+    assert set(idx) == {3, 7}
+    gap_lo = ms(idx[3][1]) + 10_000
+    gap_hi = ms(idx[7][0]) - 10_000
+    assert gap_lo < gap_hi, "fixture must leave a gap between pattern spans"
+
+    # the epoch's UNION span overlaps the gap — coarse pruning would scan
+    led = pipe.ledger().collect()[0]
+    assert ms(led["input_min_ts"]) <= gap_lo <= ms(led["input_max_ts"])
+    # ... but no individual pattern span does: zero epochs, zero files
+    assert pipe.epochs_for_range(gap_lo, gap_hi) == []
+    assert pipe.read_sink("role", epochs=[]).inputFiles() == []
+    assert pipe.search(
+        "heartbeat", ts_begin_ms=gap_lo, ts_end_ms=gap_hi
+    ).count() == 0
+
+    # a range covering only pattern 3 still selects the epoch
+    assert pipe.epochs_for_range(ms(idx[3][0]), ms(idx[3][1])) == [0]
+
+
+def test_crash_resume_pins_n_subs(spark, input_df, work_root, monkeypatch):
+    """After a crash mid-partition, committed sub-epochs already grew the
+    dictionaries, so recomputing n_subs from the (now smaller) dictionary
+    delta would change the pmod row split and duplicate/drop rows. The
+    resume must reuse the COMMITTED n_subs."""
+    pipe = IngestPipeline(spark, work_root, num_partitions=2, dict_budget=200)
+    orig = IngestPipeline._run_sub_epoch
+
+    def boom(self, part_df, partition_id, sub_epoch, n_subs, is_parsed=False):
+        if sub_epoch >= 1:
+            raise RuntimeError("simulated crash")
+        return orig(self, part_df, partition_id, sub_epoch, n_subs,
+                    is_parsed=is_parsed)
+
+    monkeypatch.setattr(IngestPipeline, "_run_sub_epoch", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(input_df, partitions=[0])
+    committed = pipe.ledger().collect()
+    assert len(committed) == 1 and committed[0]["sub_epoch"] == 0
+    k = committed[0]["n_subs"]
+    assert k > 1, "fixture must force a sub-epoch split"
+
+    monkeypatch.setattr(IngestPipeline, "_run_sub_epoch", orig)
+    pipe2 = IngestPipeline(spark, work_root, num_partitions=2, dict_budget=200)
+    pipe2.run(input_df, partitions=[0])
+    rows = [r for r in pipe2.ledger().collect() if r["partition_id"] == 0]
+    assert {r["n_subs"] for r in rows} == {k}, "resume recomputed n_subs"
+    assert sorted(r["sub_epoch"] for r in rows) == list(range(k))
+
+    part0 = input_df.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    routed = spark.read.parquet(f"{work_root}/sinks/by_role")
+    assert routed.count() == part0.count(), "rows duplicated or dropped"
+    assert (
+        routed.select("conv_id", "turn_idx")
+        .exceptAll(part0.select("conv_id", "turn_idx"))
+        .count()
+        == 0
+    )
+
+
+def test_search_over_non_overlapping_range_is_empty(spark, input_df, work_root):
+    """A query time range overlapping no ledger epoch selects zero sink
+    partitions and must return an EMPTY result, not crash on a zero-path
+    read (tablestore empty partition_filter short-circuit)."""
+    pipe = IngestPipeline(spark, work_root, num_partitions=2)
+    pipe.run(input_df)
+    far_future = 4102444800000  # 2100-01-01 in epoch ms
+    assert pipe.epochs_for_range(far_future, far_future + 1000) == []
+    out = pipe.search("heartbeat", ts_begin_ms=far_future,
+                      ts_end_ms=far_future + 1000)
+    assert out.count() == 0
+
+
 def test_routed_rows_match_input(spark, input_df, work_root):
     pipe = IngestPipeline(spark, work_root, num_partitions=2)
     pipe.run(input_df)

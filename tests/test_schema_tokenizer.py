@@ -125,3 +125,53 @@ def test_schema_roundtrip_with_nul_bytes(spark):
     dec = encode_pipeline.decode(enc, lt, vd, ["conv_id", "turn_idx"])
     bad = dec.where(~F.col("decoded_text").eqNullSafe(F.col("text"))).count()
     assert bad == 0
+
+
+def test_query_side_schema_lexer(spark):
+    """Query tokenization must follow the CORPUS's schema (Grep.cpp:750-891
+    log-surgeon path): with delimiters=' ' and a tag rule, 'error:13' is
+    one dictionary variable; the heuristic lexer splits it at ':' into a
+    constant + int and finds nothing."""
+    from clp_core_spark.operators import search as search_op
+
+    spec = SchemaSpec(
+        delimiters=" ",
+        rules=[
+            ("int", r"-{0,1}[0-9]+"),
+            ("tag", r"[a-z]+:[0-9]+"),
+            ("vid", r"v[0-9]+"),
+        ],
+    )
+    rows = [
+        ("c0", 0, "job error:13 v1"),
+        ("c0", 1, "job warn:13 v2"),
+        ("c1", 0, "job error:7 v3"),
+        ("c1", 1, "job error:13 v4"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    enc, lt, vd = encode_pipeline.encode(
+        df, key_cols=["conv_id", "turn_idx"], schema_spec=spec
+    )
+    # 'error:13' must be ONE dict var
+    assert vd.filter(F.col("var_str") == "error:13").count() == 1
+
+    got = search_op.search_text(
+        enc, lt, vd, "*error:13 *", ["conv_id", "turn_idx"], schema_spec=spec
+    )
+    keys = {(r["conv_id"], r["turn_idx"]) for r in got.collect()}
+    assert keys == {("c0", 0), ("c1", 1)}
+
+    # exact (wildcard-free) schema token: full-rule match => dict probe
+    got2 = search_op.search_text(
+        enc, lt, vd, "error:13", ["conv_id", "turn_idx"], schema_spec=spec
+    )
+    keys2 = {(r["conv_id"], r["turn_idx"]) for r in got2.collect()}
+    assert keys2 == {("c0", 0), ("c1", 1)}
+
+    # the heuristic tokenizer on the same encoded corpus finds nothing:
+    # it splits at ':' (constant 'error:' + int 13) — no such logtype,
+    # no standalone int var
+    miss = search_op.search_text(
+        enc, lt, vd, "*error:13 *", ["conv_id", "turn_idx"]
+    )
+    assert miss.count() == 0

@@ -76,6 +76,52 @@ def test_file_reconstruction_roundtrip(spark, tmp_path):
     assert got["b.log"] == LOG.rstrip("\n")
 
 
+def test_crlf_content_reconstructs_byte_equal(spark, tmp_path):
+    """Strict '\\n' splitting keeps '\\r' (and unicode separators) inside
+    the message text, so CRLF files roundtrip byte-equal; a single
+    trailing newline is consumed by the source (documented)."""
+    crlf = (
+        "2016-05-08 07:34:05,251 one\r\n"
+        "plain continuation\r\n"
+        "2016-05-08 07:34:06,000 two\r"
+    )
+    d = tmp_path / "crlf"
+    d.mkdir()
+    (d / "c.log").write_text(crlf)
+    msgs = raw_text.read_log_files(spark, str(d))
+    files = sinks.reconstruct_log_files(msgs).collect()
+    assert files[0]["content"] == crlf
+
+
+def test_trailing_newline_consumed_once():
+    msgs = raw_text.split_messages("alpha\nbeta\n")
+    assert [t for _, _, t in msgs] == ["alpha", "beta"]
+    # blank lines in the middle are real (empty) messages
+    msgs2 = raw_text.split_messages("alpha\n\nbeta")
+    assert [t for _, _, t in msgs2] == ["alpha", "", "beta"]
+
+
+def test_overlong_digit_run_does_not_crash():
+    """A line starting with a >19-digit run must fall through as an
+    unmatched (timestamp-less) line, not OverflowError the ingest task."""
+    line = "12345678901234567890123 huge id line"
+    msgs = raw_text.split_messages(line)
+    assert len(msgs) == 1 and msgs[0][1] is None and msgs[0][2] == line
+
+
+def test_reconstruct_size_guard(spark):
+    """Files above max_file_bytes refuse to reconstruct (pointing at
+    decompress_to_text) instead of OOMing one executor group."""
+    df = spark.createDataFrame(
+        [("f", i, None, -1, "x" * 100) for i in range(5)],
+        "path string, msg_idx long, ts timestamp, pattern_id int, text string",
+    )
+    with pytest.raises(Exception, match="max_file_bytes"):
+        sinks.reconstruct_log_files(df, max_file_bytes=64).collect()
+    ok = sinks.reconstruct_log_files(df, max_file_bytes=10_000).collect()
+    assert len(ok) == 1
+
+
 def test_read_compressed_and_tar_sources(spark, tmp_path):
     """gzip'd logs and .tar.gz archives split into the same messages as
     plain files (compressed-archive source, SURVEY §2.1)."""

@@ -44,6 +44,16 @@ def test_partition_filter_prunes_scan(spark, store):
     )
 
 
+def test_empty_partition_filter_returns_empty_df(spark, store):
+    """A filter value list that selects ZERO partitions (e.g. a time
+    range overlapping no ledger epoch) must yield an empty DataFrame
+    with the table schema, not a zero-path read error."""
+    store.overwrite_partitions(_df(spark, 0, "a"), "e", ["epoch_part"])
+    out = store.read("e", partition_filter={"epoch_part": []})
+    assert out.count() == 0
+    assert set(out.columns) == {"epoch_part", "id", "tag"}
+
+
 def test_auto_mode_resolves(spark, tmp_path):
     ts = TableStore(spark, str(tmp_path / "auto"), mode="auto")
     assert ts.format in ("parquet", "iceberg")
