@@ -99,11 +99,14 @@ def _parse_lines(lines: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
         c = cand[hit]
         if epoch_ms:
             # tolerant: digit runs too long for int64 (e.g. a 23-digit ID)
-            # coerce to NaN/out-of-bounds -> NaT and fall through as
-            # unmatched, matching the Spark twin's cast("long") nulling
-            parsed = pd.to_datetime(
-                pd.to_numeric(c, errors="coerce"), unit="ms", errors="coerce"
-            )
+            # must fall through as unmatched lines, not OverflowError the
+            # ingest task. float64 is exact for plausible epoch-ms
+            # (< 2^53) and values beyond datetime64[ns] range (~year
+            # 2262 = 9.2e12 ms) are masked BEFORE to_datetime — pandas
+            # overflows on unit conversion even with errors="coerce"
+            num = pd.to_numeric(c, errors="coerce").astype("float64")
+            num = num.where((num >= 0) & (num <= 9.2e12))
+            parsed = pd.to_datetime(num, unit="ms", errors="coerce")
         else:
             norm = c.str.replace("  +", " ", regex=True) if collapse else c
             parsed = pd.to_datetime(norm, format=pyfmt, errors="coerce")

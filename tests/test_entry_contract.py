@@ -19,7 +19,10 @@ def test_oracle_sql_mentions_only_registered_views():
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     }
-    ctes = {"h", "sh", "pairs", "sig", "q", "lines", "cells", "a", "probe"}
+    ctes = {
+        "h", "sh", "pairs", "sig", "q", "lines", "cells", "a", "probe",
+        "reps", "nd", "bad",
+    }
     for name, sql in entry.oracle_sql().items():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
         assert tables <= allowed | ctes, (name, tables - allowed - ctes)
