@@ -536,8 +536,11 @@ def _semistructured(spark, sf_dir):
     key = (id(spark), sf_dir, "_clps")
     if key not in _CACHE:
         recs = _json_records(spark, sf_dir)
+        # 20k-record inference sample: the MPT merge needs to SEE each
+        # leaf, not every row — 'extra' (1 in 5 records) is in any prefix
+        # sample; keeps the schema-inference pass off the full corpus
         enc, tree, smap = semistructured.encode_semistructured(
-            recs, "js", key_cols=["event_id"]
+            recs, "js", key_cols=["event_id"], infer_sample_rows=20_000
         )
         _CACHE[key] = (enc.persist(), tree, smap)
     return _CACHE[key]

@@ -70,6 +70,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="sink table format: Iceberg when its runtime is on"
                         " the classpath (auto/iceberg), parquet otherwise")
+    p.add_argument("--dict-scope", choices=["global", "epoch"],
+                   default="global",
+                   help="epoch = per-archive dictionaries (CLP layout);"
+                        " enables --max-concurrent > 1")
+    p.add_argument("--max-concurrent", type=int, default=1,
+                   help="partition jobs kept in flight at once (requires"
+                        " --dict-scope epoch); keeps a large cluster busy"
+                        " between epochs")
     p.add_argument("--master", default="",
                    help="Spark master override (default: inherit from launcher)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -103,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
             write_glt=args.write_glt,
             dict_budget=args.dict_budget,
             table_mode=args.table_mode,
+            dict_scope=args.dict_scope,
+            max_concurrent=args.max_concurrent,
         )
         pipe.run(input_df, partitions=args.partitions)
         blob = pipe.emit_metrics(args.metrics_out)

@@ -56,6 +56,8 @@ class IngestPipeline:
         write_glt: bool = False,
         dict_budget: int | None = None,
         table_mode: str = "auto",
+        dict_scope: str = "global",
+        max_concurrent: int = 1,
     ):
         """``var_id_mode='dense'`` + ``write_glt=True`` is the archival
         configuration: dense dictionary IDs and a logtype-clustered copy
@@ -73,7 +75,26 @@ class IngestPipeline:
         plans.tablestore.TableStore — Iceberg when its runtime is on the
         classpath ("auto"/"iceberg"), partitioned parquet otherwise; the
         partition-overwrite and pruning contract is identical either way
-        (SURVEY §1.5 archive->partition mapping)."""
+        (SURVEY §1.5 archive->partition mapping).
+
+        ``dict_scope``: ``"global"`` grows ONE dictionary pair across all
+        epochs (epochs must run sequentially — IDs are assigned at
+        max+1); ``"epoch"`` gives every epoch partition its OWN
+        self-contained dictionaries, CLP's actual layout (each archive
+        carries its logtype.dict/var.dict — clp/streaming_archive/
+        Constants.hpp:7-15), making partitions fully independent:
+        deterministic regardless of completion order, and eligible for
+        ``max_concurrent`` > 1, where a driver thread pool keeps several
+        partition jobs in flight at once so a large cluster is never
+        idle between sequential epochs (the scheduler interleaves their
+        stages). Search loads each selected epoch's dictionaries and
+        unions per-epoch hits — exactly CLP dispatching one search task
+        per archive (job_orchestration query_scheduler)."""
+        if max_concurrent > 1 and dict_scope != "epoch":
+            raise ValueError(
+                "max_concurrent > 1 requires dict_scope='epoch' (global "
+                "dictionaries impose a sequential epoch order)"
+            )
         self.spark = spark
         self.work_root = work_root
         self.num_partitions = num_partitions
@@ -81,6 +102,11 @@ class IngestPipeline:
         self.var_id_mode = var_id_mode
         self.write_glt = write_glt
         self.dict_budget = dict_budget
+        self.dict_scope = dict_scope
+        self.max_concurrent = max_concurrent
+        import threading
+
+        self._meta_lock = threading.Lock()  # serializes ledger/ts_index appends
         self.ledger_path = f"{work_root}/ledger"
         self.ts_index_path = f"{work_root}/ts_index"
         self.dicts_path = f"{work_root}/dicts"
@@ -122,23 +148,38 @@ class IngestPipeline:
         return subs, (max(r["n_subs"] for r in rows) if rows else None)
 
     def _append_ledger(self, row: dict) -> None:
-        self.spark.createDataFrame([row], LEDGER_SCHEMA).write.mode("append").parquet(
-            self.ledger_path
-        )
+        with self._meta_lock:
+            self.spark.createDataFrame(
+                [row], LEDGER_SCHEMA
+            ).write.mode("append").parquet(self.ledger_path)
 
     # -- dictionaries ------------------------------------------------------
 
-    def _load_dict(self, name: str) -> DataFrame | None:
-        return dictstore.load_dict(self.spark, self.dicts_path, name)
+    def _load_dict(self, name: str, epoch_part: int | None = None) -> DataFrame | None:
+        root = (
+            f"{self.dicts_path}/epoch_part={epoch_part}"
+            if epoch_part is not None
+            else self.dicts_path
+        )
+        return dictstore.load_dict(self.spark, root, name)
 
-    def _save_dict(self, name: str, df: DataFrame) -> None:
-        dictstore.save_dict(self.dicts_path, name, df)
+    def _save_dict(self, name: str, df: DataFrame, epoch_part: int | None = None) -> None:
+        root = (
+            f"{self.dicts_path}/epoch_part={epoch_part}"
+            if epoch_part is not None
+            else self.dicts_path
+        )
+        dictstore.save_dict(root, name, df)
 
     # -- the per-partition unit of work -------------------------------------
 
     def run(self, input_df: DataFrame, partitions: list[int] | None = None) -> DataFrame:
         """Process every not-yet-done partition of ``input_df``; return the
-        ledger. Deterministic partitioning: pmod(xxhash64(conv_id), N)."""
+        ledger. Deterministic partitioning: pmod(xxhash64(conv_id), N).
+        With ``max_concurrent`` > 1 (epoch-scoped dictionaries only),
+        several partition jobs stay in flight at once — driver threads
+        submit to the shared scheduler, which interleaves their stages so
+        executors never idle between epochs."""
         part_col = F.pmod(F.xxhash64("conv_id"), F.lit(self.num_partitions)).cast("int")
         df = input_df.withColumn("_epoch_part", part_col)
 
@@ -148,8 +189,25 @@ class IngestPipeline:
             for p in (partitions if partitions is not None else range(self.num_partitions))
             if p not in done
         ]
-        for p in todo:
-            self._run_partition(df.filter(F.col("_epoch_part") == p).drop("_epoch_part"), p)
+        if self.max_concurrent > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
+                futures = [
+                    pool.submit(
+                        self._run_partition,
+                        df.filter(F.col("_epoch_part") == p).drop("_epoch_part"),
+                        p,
+                    )
+                    for p in todo
+                ]
+                for f in futures:
+                    f.result()
+        else:
+            for p in todo:
+                self._run_partition(
+                    df.filter(F.col("_epoch_part") == p).drop("_epoch_part"), p
+                )
         return self.ledger()
 
     def _dict_delta(self, parsed: DataFrame, lt_existing, var_existing) -> int:
@@ -172,8 +230,12 @@ class IngestPipeline:
         return new_lt.count() + new_var.count()
 
     def _run_partition(self, part_df: DataFrame, partition_id: int) -> None:
-        lt_existing = self._load_dict("logtype")
-        var_existing = self._load_dict("var")
+        if self.dict_scope == "epoch":
+            # archive-local dictionaries: nothing carries across epochs
+            lt_existing = var_existing = None
+        else:
+            lt_existing = self._load_dict("logtype")
+            var_existing = self._load_dict("var")
 
         n_subs = 1
         done_subs: set[int] = set()
@@ -220,11 +282,14 @@ class IngestPipeline:
         is_parsed: bool = False,
     ) -> None:
         t0 = time.time()
-        lt_existing = self._load_dict("logtype")
-        var_existing = self._load_dict("var")
         # sink partition value: unique per (partition, sub), stable across
         # resumes; plain partition_id when there is no split
         epoch_part = partition_id + sub_epoch * self.num_partitions
+        if self.dict_scope == "epoch":
+            lt_existing = var_existing = None
+        else:
+            lt_existing = self._load_dict("logtype")
+            var_existing = self._load_dict("var")
 
         encoded, lt_dict, var_dict = encode_pipeline.encode(
             part_df,
@@ -260,14 +325,15 @@ class IngestPipeline:
             .agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
             .collect()
         )
-        self.spark.createDataFrame(
-            [
-                (partition_id, sub_epoch, r["pattern_id"], r["min_ts"], r["max_ts"])
-                for r in pat_rows
-            ],
-            "partition_id int, sub_epoch int, pattern_id int,"
-            " min_ts timestamp, max_ts timestamp",
-        ).write.mode("append").parquet(self.ts_index_path)
+        with self._meta_lock:
+            self.spark.createDataFrame(
+                [
+                    (partition_id, sub_epoch, r["pattern_id"], r["min_ts"], r["max_ts"])
+                    for r in pat_rows
+                ],
+                "partition_id int, sub_epoch int, pattern_id int,"
+                " min_ts timestamp, max_ts timestamp",
+            ).write.mode("append").parquet(self.ts_index_path)
 
         n_routed = 0
         for kind in route.SINK_KINDS:
@@ -293,10 +359,11 @@ class IngestPipeline:
                 combine_threshold=0.001,  # GLT's 0.1% combined-table default
             )
 
-        self._save_dict("logtype", lt_dict)
-        self._save_dict("var", var_dict)
-        lt_n = self._load_dict("logtype").count()
-        var_n = self._load_dict("var").count()
+        ep = epoch_part if self.dict_scope == "epoch" else None
+        self._save_dict("logtype", lt_dict, epoch_part=ep)
+        self._save_dict("var", var_dict, epoch_part=ep)
+        lt_n = self._load_dict("logtype", epoch_part=ep).count()
+        var_n = self._load_dict("var", epoch_part=ep).count()
         enriched.unpersist()
 
         wall = time.time() - t0
@@ -399,6 +466,34 @@ class IngestPipeline:
         from clp_core_spark.operators import search as search_op
 
         epochs = self.epochs_for_range(ts_begin_ms, ts_end_ms)
+        if self.dict_scope == "epoch":
+            # one search task per archive, each against ITS dictionaries
+            # (CLP's query scheduler fans a query out per archive); the
+            # per-epoch hit sets union — epochs partition the rows, so no
+            # dedup is needed
+            outs = []
+            for e in epochs:
+                lt = self._load_dict("logtype", epoch_part=e)
+                vd = self._load_dict("var", epoch_part=e)
+                if lt is None or vd is None:
+                    continue
+                outs.append(
+                    search_op.search_text(
+                        self.read_sink(kind, epochs=[e]), lt, vd, query,
+                        ["conv_id", "turn_idx"], ignore_case=ignore_case,
+                        ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms, **kw,
+                    )
+                )
+            if not outs:
+                return (
+                    self.read_sink(kind, epochs=[])
+                    .select("conv_id", "turn_idx")
+                    .where(F.lit(False))
+                )
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
+            return df
         df = self.read_sink(kind, epochs=epochs)
         lt, vd = self._load_dict("logtype"), self._load_dict("var")
         return search_op.search_text(

@@ -160,6 +160,54 @@ def test_ledger_time_pruned_search(spark, work_root):
     shifted.unpersist()
 
 
+def test_epoch_scoped_dicts_concurrent_ingest(spark, input_df, work_root):
+    """dict_scope='epoch' gives each epoch partition its own
+    self-contained dictionaries (CLP's per-archive logtype.dict/var.dict,
+    clp/streaming_archive/Constants.hpp:7-15), so partitions are
+    order-independent and can run CONCURRENTLY; search fans out per
+    archive with its dictionaries and unions hits."""
+    from clp_core_spark.functions.wildcard import wildcard_to_regex
+    from clp_core_spark.operators import encode_pipeline
+
+    pipe = IngestPipeline(
+        spark, work_root, num_partitions=4, dict_scope="epoch", max_concurrent=4
+    )
+    pipe.run(input_df)
+    assert pipe.done_partitions() == {0, 1, 2, 3}
+    routed = spark.read.parquet(f"{work_root}/sinks/by_role")
+    assert routed.count() == input_df.count()
+
+    # per-epoch dictionaries exist and decode THEIR epoch's rows exactly
+    for e in range(4):
+        lt = spark.read.parquet(f"{work_root}/dicts/epoch_part={e}/logtype")
+        vd = spark.read.parquet(f"{work_root}/dicts/epoch_part={e}/var")
+        part = routed.filter(F.col("epoch_part") == e)
+        dec = encode_pipeline.decode(part, lt, vd, ["conv_id", "turn_idx"])
+        joined = dec.join(
+            input_df.select("conv_id", "turn_idx", "text"),
+            ["conv_id", "turn_idx"],
+        )
+        assert joined.where(F.col("decoded_text") != F.col("text")).count() == 0
+
+    # per-archive search union equals the direct text scan
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in pipe.search("heartbeat").collect()
+    }
+    expected = {
+        (r["conv_id"], r["turn_idx"])
+        for r in input_df.filter(
+            F.col("text").rlike(wildcard_to_regex("*heartbeat*"))
+        ).select("conv_id", "turn_idx").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_concurrent_requires_epoch_scope(spark, work_root):
+    with pytest.raises(ValueError, match="dict_scope"):
+        IngestPipeline(spark, work_root, max_concurrent=4)
+
+
 def test_per_pattern_ts_index_prunes_gaps(spark, work_root):
     """The timestamp index keeps min/max PER PATTERN (clp_s
     TimestampEntry.hpp:58-95): a query range falling in the gap between
