@@ -593,6 +593,34 @@ def _q_clps_clpstring_search(spark, sf_dir):
     return hits.select("event_id")
 
 
+def _q_clps_multi_clpstring(spark, sf_dir):
+    """TWO ClpString columns encoded from ONE tokenize pass
+    (encode_clpstring_columns fuses the per-column parse UDFs into a
+    single ArrowEvalPython stage — clp_s parses each record once into
+    all column writers, clp_s/JsonParser.cpp:125-232) and an AND of
+    dictionary searches over both encoded columns."""
+    from clp_core_spark.operators import clps_search
+
+    ev = _t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"msg": "evt num '), F.col("event_id").cast("string"),
+        F.lit('", "note": "note for user '), F.col("user_id").cast("string"),
+        F.lit('", "user": '), F.col("user_id").cast("string"),
+        F.lit("}"),
+    )
+    recs = ev.select("event_id", js.alias("js"))
+    enc, tree, _ = semistructured.encode_semistructured(
+        recs, "js", key_cols=["event_id"], infer_sample_rows=20_000
+    )
+    enc2, dicts = clps_search.encode_clpstring_columns(
+        enc, ["msg", "note"], key_cols=["event_id"]
+    )
+    hits = clps_search.kql_filter_clps(
+        enc2, 'msg: "*num 12*" AND note: "*user 3*"', dicts, ["event_id"]
+    )
+    return hits.select("event_id")
+
+
 def _q_clps_schema_tree(spark, sf_dir):
     _, tree, _ = _semistructured(spark, sf_dir)
     return tree
@@ -936,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clps_typed_search": _q_clps_typed_search,
         "clps_schema_pruned_search": _q_clps_schema_pruned_search,
         "clps_clpstring_search": _q_clps_clpstring_search,
+        "clps_multi_clpstring_search": _q_clps_multi_clpstring,
         "clps_structured_array": _q_clps_structured_array,
         "clps_unstructured_array_search": _q_clps_unstructured_array,
         "kql_wildcard_key": _q_kql_wildcard_key,
@@ -1136,6 +1165,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
             "SELECT event_id FROM events"
             " WHERE ('evt num ' || CAST(event_id AS VARCHAR))"
             " LIKE '%num 12%' AND event_type = 'error'"
+        ),
+        "clps_multi_clpstring_search": (
+            "SELECT event_id FROM events"
+            " WHERE ('evt num ' || CAST(event_id AS VARCHAR))"
+            " LIKE '%num 12%'"
+            " AND ('note for user ' || CAST(user_id AS VARCHAR))"
+            " LIKE '%user 3%'"
         ),
         # arr.b is floor(value) regardless of array-vs-object shape, so the
         # exists-over-elements query reduces to a direct predicate

@@ -129,6 +129,10 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "sim_ivf_topk",
         "clp_search_regex",
         "clps_clpstring_search",
+        "clps_multi_clpstring_search",
+        "kql_wildcard_key",
+        "clps_unstructured_array_search",
+        "clp_schema_search",
         "clp_rawtext_roundtrip",
     ]
     qs = entry.queries()
