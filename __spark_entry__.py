@@ -665,7 +665,8 @@ def _q_clps_structured_array(spark, sf_dir):
     both shapes."""
     recs = _arr_records(spark, sf_dir)
     enc, _, _ = semistructured.encode_semistructured(
-        recs, "js", key_cols=["event_id"], structurize_arrays=True
+        recs, "js", key_cols=["event_id"], structurize_arrays=True,
+        infer_sample_rows=20_000,
     )
     return kql.kql_filter(enc, "arr.b > 100").select("event_id")
 
@@ -678,7 +679,8 @@ def _q_clps_unstructured_array(spark, sf_dir):
     (tests/test-clp_s-search.cpp GENERATE(true, false))."""
     recs = _arr_records(spark, sf_dir)
     enc, tree, _ = semistructured.encode_semistructured(
-        recs, "js", key_cols=["event_id"], structurize_arrays=False
+        recs, "js", key_cols=["event_id"], structurize_arrays=False,
+        infer_sample_rows=20_000,
     )
     acols = kql.unstructured_array_cols(tree)
     assert "arr" in acols, "arr must classify as UnstructuredArray"
@@ -701,7 +703,7 @@ def _q_kql_wildcard_key(spark, sf_dir):
     )
     recs = ev.select("event_id", js.alias("js"))
     enc, tree, _ = semistructured.encode_semistructured(
-        recs, "js", key_cols=["event_id"]
+        recs, "js", key_cols=["event_id"], infer_sample_rows=20_000
     )
     return kql.kql_filter(
         enc, '*.code > 150 AND req.*: "*num 1*"',
