@@ -209,4 +209,8 @@ def wildcard_match(tame: str, wild: str, case_sensitive: bool = True) -> bool:
     dictionary probes on small collections."""
     if not case_sensitive:
         tame, wild = tame.lower(), wild.lower()
-    return re.match(wildcard_to_regex(wild), tame) is not None
+    rx = wildcard_to_regex(wild)
+    if rx.endswith(r"\z"):
+        # the Java-regex end anchor (rlike consumer); Python spells it \Z
+        rx = rx[:-2] + r"\Z"
+    return re.match(rx, tame) is not None

@@ -403,6 +403,14 @@ class DictProbes:
     consumes via broadcast semi-join — driver memory and plan size stay
     O(cutoff) regardless of dictionary size."""
 
+    # A logtype dictionary at or below this size is pulled to the driver
+    # ONCE and every logtype probe runs as an in-memory regex match (zero
+    # Spark jobs) — CLP holds the whole logtype dict in memory during
+    # query compilation (Grep.cpp:477-495). Logtype dicts are templates
+    # (tiny by CLP's core premise); var dicts can be huge and always
+    # probe distributed.
+    LOGTYPE_DRIVER_MAX = 100_000
+
     def __init__(self, logtype_dict: DataFrame, var_dict: DataFrame,
                  ignore_case: bool, max_literal_ids: int = ISIN_MAX_IDS):
         self.logtype_dict = logtype_dict
@@ -410,6 +418,21 @@ class DictProbes:
         self.ignore_case = ignore_case
         self.max_literal_ids = max_literal_ids
         self._cache: dict = {}
+        self._lt_rows: list | None | bool = None  # lazy driver copy
+
+    def _logtype_rows(self):
+        """Driver copy of the logtype dict, or False if it exceeds the
+        in-memory bound (fall back to distributed probes)."""
+        if self._lt_rows is None:
+            head = self.logtype_dict.select("logtype", "logtype_id").limit(
+                self.LOGTYPE_DRIVER_MAX + 1
+            ).collect()
+            self._lt_rows = (
+                [(r["logtype"], int(r["logtype_id"])) for r in head]
+                if len(head) <= self.LOGTYPE_DRIVER_MAX
+                else False
+            )
+        return self._lt_rows
 
     def _probe(self, df: DataFrame, value_col: str, id_col: str, pattern: str,
                exact: bool) -> ProbeResult:
@@ -435,7 +458,36 @@ class DictProbes:
         return res
 
     def logtypes(self, pattern: str) -> ProbeResult:
-        return self._probe(self.logtype_dict, "logtype", "logtype_id", pattern, exact=False)
+        rows = self._logtype_rows()
+        if rows is False:
+            return self._probe(
+                self.logtype_dict, "logtype", "logtype_id", pattern, exact=False
+            )
+        key = ("logtype_id", pattern, False)
+        if key in self._cache:
+            return self._cache[key]
+        from clp_core_spark.functions.wildcard import wildcard_match
+
+        ids = [
+            lid
+            for val, lid in rows
+            if wildcard_match(val, pattern, case_sensitive=not self.ignore_case)
+        ]
+        if len(ids) > self.max_literal_ids:
+            # keep the plan-size bound: large hit sets stay a lazy DF for
+            # broadcast-semi-join consumption, same as distributed probes
+            col = F.lower(F.col("logtype")) if self.ignore_case else F.col("logtype")
+            pat = pattern.lower() if self.ignore_case else pattern
+            res = ProbeResult(
+                ids=None,
+                df=self.logtype_dict.filter(
+                    col.rlike(wildcard_to_regex(pat))
+                ).select("logtype_id"),
+            )
+        else:
+            res = ProbeResult(ids=ids, df=None)
+        self._cache[key] = res
+        return res
 
     def var_exact(self, value: str) -> ProbeResult:
         return self._probe(self.var_dict, "var_str", "var_id", value, exact=True)
