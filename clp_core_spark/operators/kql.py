@@ -210,6 +210,10 @@ def _descriptor_tokens(raw: str) -> tuple[tuple[str, bool], ...]:
             cur.append(c)
         i += 1
     parts.append("".join(cur))
+    if any(p == "" for p in parts):
+        # '.a', 'a.', 'a..c': the reference grammar rejects empty
+        # descriptor tokens (test-kql.cpp "Empty token in column name")
+        raise ValueError(f"empty token in column descriptor: {raw!r}")
     out: list[tuple[str, bool]] = []
     for p in parts:
         wild = p == "*"
