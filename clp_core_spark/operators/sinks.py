@@ -36,10 +36,22 @@ def decompress_to_text(
     key_cols = key_cols or ["conv_id", "turn_idx"]
     order_cols = order_cols or key_cols
     decoded = encode_pipeline.decode(encoded, logtype_dict, var_dict, key_cols)
+    write_ordered_text(decoded, out_path, order_cols, partitions=partitions)
+
+
+def write_ordered_text(
+    decoded: DataFrame,
+    out_path: str,
+    order_cols: list[str],
+    text_col: str = "decoded_text",
+    partitions: int = 32,
+) -> None:
+    """Range-partitioned parallel text write in stable global order
+    (partition i < partition i+1, filenames follow partition order)."""
     (
         decoded.repartitionByRange(partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
-        .select(F.col("decoded_text").alias("value"))
+        .select(F.col(text_col).alias("value"))
         .write.mode("overwrite")
         .text(out_path)
     )

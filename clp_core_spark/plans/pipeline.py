@@ -502,6 +502,46 @@ class IngestPipeline:
             ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms, **kw,
         )
 
+    def decompress_to_text(
+        self,
+        out_path: str,
+        kind: str = "role",
+        partitions: int = 32,
+    ) -> None:
+        """Reconstruct the original turn text from the routed archive in
+        stable (conv_id, turn_idx) order — the `clp x` surface over the
+        pipeline's own sinks (clp/clp/decompression.cpp). Epoch-scoped
+        archives decode each epoch with ITS dictionaries and the ordered
+        write interleaves them globally (range partitioning on the keys,
+        not on epochs)."""
+        from clp_core_spark.operators import sinks as sink_ops
+
+        keys = ["conv_id", "turn_idx"]
+        if self.dict_scope == "epoch":
+            parts = []
+            for e in self.epochs_for_range():
+                lt = self._load_dict("logtype", epoch_part=e)
+                vd = self._load_dict("var", epoch_part=e)
+                if lt is None or vd is None:
+                    continue
+                parts.append(
+                    encode_pipeline.decode(
+                        self.read_sink(kind, epochs=[e]), lt, vd, keys
+                    ).select(*keys, "decoded_text")
+                )
+            if not parts:
+                raise ValueError("nothing ingested: no epoch dictionaries found")
+            dec = parts[0]
+            for p in parts[1:]:
+                dec = dec.unionByName(p)
+            sink_ops.write_ordered_text(dec, out_path, keys, partitions=partitions)
+            return
+        lt, vd = self._load_dict("logtype"), self._load_dict("var")
+        sink_ops.decompress_to_text(
+            self.read_sink(kind), lt, vd, out_path,
+            key_cols=keys, partitions=partitions,
+        )
+
     # -- metrics -------------------------------------------------------------
 
     def metrics(self) -> dict:

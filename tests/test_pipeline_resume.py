@@ -208,6 +208,30 @@ def test_concurrent_requires_epoch_scope(spark, work_root):
         IngestPipeline(spark, work_root, max_concurrent=4)
 
 
+@pytest.mark.parametrize("scope", ["global", "epoch"])
+def test_pipeline_decompress_to_text(spark, input_df, work_root, tmp_path, scope):
+    """`clp x` over the pipeline's own archive: the ordered text write
+    must equal the original corpus under (conv_id, turn_idx) ordering —
+    with global AND per-epoch dictionaries."""
+    import glob
+
+    pipe = IngestPipeline(
+        spark, work_root, num_partitions=4, dict_scope=scope,
+        max_concurrent=4 if scope == "epoch" else 1,
+    )
+    pipe.run(input_df)
+    out = str(tmp_path / f"xtext_{scope}")
+    pipe.decompress_to_text(out, partitions=8)
+
+    back: list[str] = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        with open(f) as fh:
+            back.extend(fh.read().splitlines())
+    want_rows = input_df.orderBy("conv_id", "turn_idx").select("text").collect()
+    want = "\n".join(r["text"] for r in want_rows)
+    assert "\n".join(back) == want
+
+
 def test_per_pattern_ts_index_prunes_gaps(spark, work_root):
     """The timestamp index keeps min/max PER PATTERN (clp_s
     TimestampEntry.hpp:58-95): a query range falling in the gap between
