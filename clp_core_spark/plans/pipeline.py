@@ -470,20 +470,28 @@ class IngestPipeline:
             # one search task per archive, each against ITS dictionaries
             # (CLP's query scheduler fans a query out per archive); the
             # per-epoch hit sets union — epochs partition the rows, so no
-            # dedup is needed
-            outs = []
-            for e in epochs:
+            # dedup is needed. Compilation does per-archive dictionary
+            # probes (driver-coordinated jobs); with max_concurrent > 1
+            # they run through a thread pool so a 1000-archive search
+            # doesn't serialize 1000 probe rounds.
+            def _one(e: int) -> DataFrame | None:
                 lt = self._load_dict("logtype", epoch_part=e)
                 vd = self._load_dict("var", epoch_part=e)
                 if lt is None or vd is None:
-                    continue
-                outs.append(
-                    search_op.search_text(
-                        self.read_sink(kind, epochs=[e]), lt, vd, query,
-                        ["conv_id", "turn_idx"], ignore_case=ignore_case,
-                        ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms, **kw,
-                    )
+                    return None
+                return search_op.search_text(
+                    self.read_sink(kind, epochs=[e]), lt, vd, query,
+                    ["conv_id", "turn_idx"], ignore_case=ignore_case,
+                    ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms, **kw,
                 )
+
+            if self.max_concurrent > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.max_concurrent) as pool:
+                    outs = [d for d in pool.map(_one, epochs) if d is not None]
+            else:
+                outs = [d for d in map(_one, epochs) if d is not None]
             if not outs:
                 return (
                     self.read_sink(kind, epochs=[])
