@@ -208,6 +208,43 @@ def test_concurrent_requires_epoch_scope(spark, work_root):
         IngestPipeline(spark, work_root, max_concurrent=4)
 
 
+def test_concurrent_crash_resume(spark, input_df, work_root, monkeypatch):
+    """A partition failing mid-flight under concurrent ingest must not
+    corrupt the others: committed partitions stay committed, the resume
+    re-runs only the failed one, and routed rows are exactly-once."""
+    orig = IngestPipeline._run_sub_epoch
+
+    def boom(self, part_df, partition_id, sub_epoch, n_subs, is_parsed=False):
+        if partition_id == 2:
+            raise RuntimeError("simulated crash p2")
+        return orig(self, part_df, partition_id, sub_epoch, n_subs,
+                    is_parsed=is_parsed)
+
+    monkeypatch.setattr(IngestPipeline, "_run_sub_epoch", boom)
+    pipe = IngestPipeline(
+        spark, work_root, num_partitions=4, dict_scope="epoch", max_concurrent=4
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(input_df)
+    done_before = pipe.done_partitions()
+    assert 2 not in done_before and done_before  # others committed
+
+    monkeypatch.setattr(IngestPipeline, "_run_sub_epoch", orig)
+    pipe2 = IngestPipeline(
+        spark, work_root, num_partitions=4, dict_scope="epoch", max_concurrent=4
+    )
+    pipe2.run(input_df)
+    assert pipe2.done_partitions() == {0, 1, 2, 3}
+    routed = spark.read.parquet(f"{work_root}/sinks/by_role")
+    assert routed.count() == input_df.count()
+    assert (
+        routed.select("conv_id", "turn_idx")
+        .exceptAll(input_df.select("conv_id", "turn_idx"))
+        .count()
+        == 0
+    )
+
+
 @pytest.mark.parametrize("scope", ["global", "epoch"])
 def test_pipeline_decompress_to_text(spark, input_df, work_root, tmp_path, scope):
     """`clp x` over the pipeline's own archive: the ordered text write
