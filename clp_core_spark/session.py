@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # FAIR lets concurrently-submitted jobs (epoch-scoped ingest /
+        # per-archive search with max_concurrent > 1) share executors
+        # instead of head-of-line blocking behind one epoch's stages
+        .config("spark.scheduler.mode", "FAIR")
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
