@@ -48,22 +48,38 @@ T_SARRAY = "StructuredArray"
 T_OBJECT = "Object"
 
 
+def _read_json_strings(df: DataFrame, col_expr) -> DataFrame:
+    """spark.read.json over a string column, JVM-side (Dataset[String]
+    straight into the JSON reader — no Python-RDD round trip); falls back
+    to the RDD path if the py4j surface is unavailable."""
+    spark = df.sparkSession
+    src = df.select(col_expr.alias("value"))
+    try:
+        jds = getattr(src._jdf, "as")(  # noqa: SLF001
+            spark._jvm.org.apache.spark.sql.Encoders.STRING()  # noqa: SLF001
+        )
+        jres = spark._jsparkSession.read().json(jds)  # noqa: SLF001
+        return DataFrame(jres, spark)
+    except Exception:  # noqa: BLE001 — e.g. a connect-mode session
+        return spark.read.json(src.rdd.map(lambda r: r[0]))
+
+
 def infer_json_schema(
     df: DataFrame, json_col: str, sample_rows: int | None = 100_000
 ) -> StructType:
     """Distributed schema inference over the JSON column — the MPT merge
-    (clp_s/JsonParser.cpp:150-218) as Spark's native JSON reader pass.
+    (clp_s/JsonParser.cpp:150-218) as Spark's native JSON reader pass,
+    entirely JVM-side (no Python workers in the inference path).
 
-    Inference is bounded to ``sample_rows`` records (one limited pass, not
-    a full-corpus Python round-trip); at 100 TB pass an explicit schema to
-    encode_semistructured, or ``sample_rows=None`` to force a full scan."""
-    src = df.select(json_col)
+    Inference is bounded to ``sample_rows`` records (one limited pass);
+    at 100 TB pass an explicit schema to encode_semistructured, or
+    ``sample_rows=None`` to force a full scan."""
+    src = df
     if sample_rows is not None:
         src = src.limit(sample_rows)
-    sdf = df.sparkSession.read.json(
-        src.rdd.map(lambda r: r[0] if r[0] is not None else "{}")
-    )
-    return sdf.schema
+    return _read_json_strings(
+        src, F.coalesce(F.col(json_col), F.lit("{}"))
+    ).schema
 
 
 def _leaf_paths(schema: StructType, prefix: str = "") -> list[tuple[str, object]]:
@@ -179,7 +195,7 @@ def encode_semistructured(
                 sample = sample.limit(infer_sample_rows)
             # a JSON-lines read of '[{...},{...}]' yields one record per
             # element, so this infers the ELEMENT schema directly
-            elem_schema = spark.read.json(sample.rdd.map(lambda r: r[0])).schema
+            elem_schema = _read_json_strings(sample, F.col("w")).schema
             if not (isinstance(elem_schema, StructType) and elem_schema.fields):
                 continue  # array of scalars: stays UnstructuredArray
             corrupt = spark.conf.get(
