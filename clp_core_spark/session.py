@@ -54,8 +54,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # FAIR lets concurrently-submitted jobs (epoch-scoped ingest /
         # per-archive search with max_concurrent > 1) share executors
-        # instead of head-of-line blocking behind one epoch's stages
-        .config("spark.scheduler.mode", "FAIR")
+        # instead of head-of-line blocking behind one epoch's stages;
+        # SPARK_GRAFT_SCHEDULER=FIFO restores the default
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"),
+        )
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
