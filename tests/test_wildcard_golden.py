@@ -142,3 +142,43 @@ def test_clean_up_wildcard_search_string_golden(raw, want):
     from clp_core_spark.functions.wildcard import clean_up_wildcard_search_string
 
     assert clean_up_wildcard_search_string(raw) == want
+
+
+def test_inmemory_probe_equals_distributed_probe(spark):
+    """The driver-memory logtype probe must return exactly the IDs the
+    distributed rlike probe returns, for wildcard patterns over a
+    deliberately nasty dictionary (placeholder bytes, escapes, regex
+    metachars, unicode)."""
+    import random
+
+    from clp_core_spark.operators.search import DictProbes
+
+    rng = random.Random(7)
+    alphabet = "ab*?\\.[](){}^$|+x \x11\x12\x13=:%飛"
+    values = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(160)
+    })
+    lt = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(values)], "logtype string, logtype_id long"
+    ).persist()
+    empty_vars = spark.createDataFrame([], "var_str string, var_id long")
+
+    pattern_bits = ["*", "?", "a", "b*", "*x", "\\*", "\\?", "x\x11", "*a?b*"]
+    patterns = {
+        "".join(rng.choice(pattern_bits) for _ in range(rng.randint(1, 4)))
+        for _ in range(30)
+    }
+    for ignore_case in (False, True):
+        mem = DictProbes(lt, empty_vars, ignore_case)
+        dist = DictProbes(lt, empty_vars, ignore_case)
+        dist.LOGTYPE_DRIVER_MAX = 0  # force the distributed path
+        for pat in patterns:
+            a = mem.logtypes(pat)
+            b = dist.logtypes(pat)
+            ids_a = set(a.ids if a.ids is not None
+                        else [r["logtype_id"] for r in a.df.collect()])
+            ids_b = set(b.ids if b.ids is not None
+                        else [r["logtype_id"] for r in b.df.collect()])
+            assert ids_a == ids_b, (pat, ignore_case, ids_a ^ ids_b)
+    lt.unpersist()
