@@ -224,6 +224,7 @@ def kql_filter_clps(
     dicts: dict[str, tuple[DataFrame, DataFrame]],
     key_cols: list[str],
     array_cols: set[str] | None = None,
+    ignore_case: bool = False,
 ) -> DataFrame:
     """KQL over a clp_s-lite table whose ClpString columns are CLP-encoded.
     ``col: value`` clauses on encoded columns run as dictionary searches
@@ -233,7 +234,9 @@ def kql_filter_clps(
     everything else compiles to Column predicates. ``array_cols``:
     JSON-text unstructured-array columns (see KqlCompiler). Top-level
     connectives must be homogeneous (all AND or all OR) — parenthesize
-    to mix."""
+    to mix. ``ignore_case`` lowers the dictionary-search comparisons on
+    ClpString columns — clp_s's --ignore-case (search(1) surface); plain
+    Column predicates keep KQL's case-sensitive semantics."""
     clauses, ops = _split_top_level(kql)
     if ops and len(set(ops)) > 1:
         raise ValueError(
@@ -248,7 +251,9 @@ def kql_filter_clps(
         hit = _clp_clause(body, dicts)
         if hit is not None:
             col, value = hit
-            matched = search_clpstring_column(base, col, dicts, value, key_cols)
+            matched = search_clpstring_column(
+                base, col, dicts, value, key_cols, ignore_case=ignore_case
+            )
             if not negated:
                 return matched
             # clp_s NOT only ranges over records whose schema HAS the
@@ -275,7 +280,8 @@ def kql_filter_clps(
                 for c in matched_clp:
                     keys = keys.unionByName(
                         search_clpstring_column(
-                            base, c, dicts, value, key_cols
+                            base, c, dicts, value, key_cols,
+                            ignore_case=ignore_case,
                         ).select(*key_cols)
                     )
                 return base.join(

@@ -85,3 +85,18 @@ def test_or_chain_unions(corpus):
         dicts, ["rid"],
     )
     assert {r["idx"] for r in got.select("idx").collect()} == {1, 3}
+
+
+def test_ignore_case_clpstring_search(corpus):
+    """clp_s --ignore-case: the dictionary comparisons lower both sides
+    (DictionaryReader ignore-case probes); 'MSG 3:*' finds the
+    lowercase-m record only when the flag is set."""
+    enc2, dicts = corpus
+    sensitive = clps_search.kql_filter_clps(
+        enc2, 'msg: "MSG 3:*"', dicts, ["rid"]
+    )
+    assert sensitive.count() == 0
+    relaxed = clps_search.kql_filter_clps(
+        enc2, 'msg: "MSG 3:*"', dicts, ["rid"], ignore_case=True
+    )
+    assert {r["idx"] for r in relaxed.select("idx").collect()} == {3}
