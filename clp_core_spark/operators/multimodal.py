@@ -139,6 +139,76 @@ def sample_frames(
     )
 
 
+def decode_audio(payload: bytes, num_samples: int, fake: bool = False) -> np.ndarray:
+    """Stub boundary for audio codecs (same contract as decode_image):
+    real decoding needs an audio library; ``fake=True`` derives a
+    deterministic float32 waveform in [-1, 1] from the payload hash."""
+    if fake:
+        seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        idx = np.arange(num_samples, dtype=np.uint64)
+        vals = (idx * np.uint64(0x9E3779B97F4A7C15) + seed) >> np.uint64(40)
+        # 24-bit values -> [-1, 1)
+        return (
+            vals.astype(np.float32) / np.float32(1 << 24)
+        ) * np.float32(2.0) - np.float32(1.0)
+    raise NotImplementedError(
+        "real audio decoding needs an audio codec library (not in this "
+        "container); pass fake=True for the deterministic stub"
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "data",
+    samples_col: str = "num_samples",
+    rate_col: str = "sample_rate",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode -> per-clip features: RMS level, zero-crossing rate, and the
+    dominant frequency bin (numpy rfft — no audio libs in the feature
+    math). Same mapInPandas shape as image_stats: media bytes never leave
+    executor Arrow buffers."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rms, zcr, dom = [], [], [], []
+            for i, buf, n, sr in zip(
+                pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy(),
+                pdf[samples_col].to_numpy(), pdf[rate_col].to_numpy(),
+            ):
+                wave = decode_audio(bytes(buf), int(n), fake=fake_decode)
+                ids.append(int(i))
+                rms.append(float(np.sqrt(np.mean(wave * wave))))
+                zcr.append(
+                    float(np.mean(np.abs(np.diff(np.signbit(wave)))))
+                )
+                spec = np.abs(np.fft.rfft(wave.astype(np.float64)))
+                k = int(np.argmax(spec[1:]) + 1) if len(spec) > 1 else 0
+                dom.append(k * float(sr) / max(int(n), 1))
+            yield pd.DataFrame(
+                {id_col: ids, "rms": rms, "zero_cross_rate": zcr,
+                 "dominant_hz": dom}
+            )
+
+    return df.mapInPandas(
+        _kernel,
+        schema=f"{id_col} long, rms double, zero_cross_rate double,"
+               " dominant_hz double",
+    )
+
+
+def synthetic_audio_table(spark, n: int = 32, num_samples: int = 2048,
+                          sample_rate: int = 16_000) -> DataFrame:
+    """Deterministic audio fixture (payload = id-seeded bytes)."""
+    return spark.range(n).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("data"),
+        F.lit(num_samples).alias("num_samples"),
+        F.lit(sample_rate).alias("sample_rate"),
+    )
+
+
 def synthetic_media_table(spark, n: int = 64, width: int = 32, height: int = 24,
                           channels: int = 3) -> DataFrame:
     """Deterministic binary-column fixture (payload = id-seeded bytes)."""

@@ -236,3 +236,20 @@ def test_frame_sampling(spark):
     durations = {r["id"]: r["duration_ms"] for r in media.collect()}
     for i, dur in durations.items():
         assert got[i] == max(dur // 1000, 1)
+
+
+def test_audio_features(spark):
+    audio = multimodal.synthetic_audio_table(spark, n=12)
+    feats = multimodal.audio_features(audio).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert 0.0 < r["rms"] <= 1.0
+        assert 0.0 <= r["zero_cross_rate"] <= 1.0
+        assert 0.0 <= r["dominant_hz"] <= 8000.0  # <= Nyquist at 16 kHz
+    again = multimodal.audio_features(audio).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_audio_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"xx", 128, fake=False)
