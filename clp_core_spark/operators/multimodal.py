@@ -139,6 +139,66 @@ def sample_frames(
     )
 
 
+def frame_features(
+    df: DataFrame,
+    every_ms: int = 1000,
+    target: tuple[int, int] = (4, 4),
+    id_col: str = "id",
+    bytes_col: str = "data",
+    meta_cols: tuple[str, str, str] = ("width", "height", "channels"),
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Video path end-to-end: the frame-sampling plan (sequence+explode,
+    JVM) joined back to the payload, then one mapInPandas decode+resize
+    per sampled frame — each frame's 'decode' seeds the stub with
+    (payload, frame_ts) so frames differ deterministically. Output:
+    (id, frame_idx, frame_ts_ms, feature array<float>)."""
+    w_col, h_col, c_col = meta_cols
+    plan = sample_frames(df, every_ms=every_ms, id_col=id_col)
+    joined = plan.join(
+        df.select(id_col, bytes_col, w_col, h_col, c_col), id_col
+    )
+    tw, th = target
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, fts, feats = [], [], [], []
+            for i, fi, ts, buf, w, h, c in zip(
+                pdf[id_col].to_numpy(), pdf["frame_idx"].to_numpy(),
+                pdf["frame_ts_ms"].to_numpy(), pdf[bytes_col].to_numpy(),
+                pdf[w_col].to_numpy(), pdf[h_col].to_numpy(),
+                pdf[c_col].to_numpy(),
+            ):
+                # mix the frame timestamp into the stub's 8-byte seed
+                # window (multiplicative spread so nearby timestamps give
+                # unrelated frames); a real decoder would seek instead
+                raw = bytes(buf).ljust(8, b"\0")
+                mask = (1 << 64) - 1
+                mixed = (
+                    int.from_bytes(raw[:8], "little")
+                    ^ ((int(ts) + 1) * 0x9E3779B97F4A7C15 & mask)
+                )
+                seed = mixed.to_bytes(8, "little") + raw[8:]
+                px = decode_image(seed, int(w), int(h), int(c), fake=fake_decode)
+                ys = (np.arange(th) * px.shape[0] // th).astype(int)
+                xs = (np.arange(tw) * px.shape[1] // tw).astype(int)
+                small = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                ids.append(int(i))
+                fidx.append(int(fi))
+                fts.append(int(ts))
+                feats.append(small.ravel().tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "frame_ts_ms": fts,
+                 "feature": feats}
+            )
+
+    return joined.mapInPandas(
+        _kernel,
+        schema=f"{id_col} long, frame_idx int, frame_ts_ms long,"
+               " feature array<float>",
+    )
+
+
 def decode_audio(payload: bytes, num_samples: int, fake: bool = False) -> np.ndarray:
     """Stub boundary for audio codecs (same contract as decode_image):
     real decoding needs an audio library; ``fake=True`` derives a

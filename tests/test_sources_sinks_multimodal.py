@@ -253,3 +253,21 @@ def test_audio_features(spark):
 def test_audio_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"xx", 128, fake=False)
+
+
+def test_video_frame_features(spark):
+    media = multimodal.synthetic_media_table(spark, n=6)
+    feats = multimodal.frame_features(media, every_ms=1000, target=(4, 4))
+    rows = feats.collect()
+    durations = {r["id"]: r["duration_ms"] for r in media.collect()}
+    per_id: dict[int, list] = {}
+    for r in rows:
+        assert len(r["feature"]) == 4 * 4 * 3
+        per_id.setdefault(r["id"], []).append(r)
+    for i, dur in durations.items():
+        assert len(per_id[i]) == max(dur // 1000, 1)
+    # frames at different timestamps decode to different features
+    multi = [v for v in per_id.values() if len(v) > 1]
+    assert multi and any(
+        v[0]["feature"] != v[1]["feature"] for v in multi
+    )
