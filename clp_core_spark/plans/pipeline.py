@@ -408,13 +408,15 @@ class IngestPipeline:
         job_orchestration/.../query_scheduler.py:369-397."""
         idx = self.ts_index()
         if idx is not None:
+            ledger_rows = self.ledger().select(
+                "partition_id", "sub_epoch",
+                F.unix_millis(F.col("input_min_ts").cast("timestamp")).alias("mn"),
+                F.unix_millis(F.col("input_max_ts").cast("timestamp")).alias("mx"),
+            ).collect()
             # only COMMITTED sub-epochs count: a crash between the index
             # append and the ledger commit leaves orphan index rows whose
             # sink directories don't exist (the re-run rewrites both)
-            committed = {
-                (r["partition_id"], r["sub_epoch"])
-                for r in self.ledger().select("partition_id", "sub_epoch").collect()
-            }
+            committed = {(r["partition_id"], r["sub_epoch"]) for r in ledger_rows}
             rows = [
                 r
                 for r in idx.select(
@@ -424,6 +426,14 @@ class IngestPipeline:
                 ).collect()
                 if (r["partition_id"], r["sub_epoch"]) in committed
             ]
+            # committed epochs WITHOUT index rows (work dirs written before
+            # the per-pattern index existed, then resumed) must not vanish
+            # from search: fall back to their coarse ledger span
+            indexed = {(r["partition_id"], r["sub_epoch"]) for r in rows}
+            rows.extend(
+                r for r in ledger_rows
+                if (r["partition_id"], r["sub_epoch"]) not in indexed
+            )
         else:
             rows = self.ledger().select(
                 "partition_id", "sub_epoch",

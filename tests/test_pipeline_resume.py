@@ -385,3 +385,23 @@ def test_routed_rows_match_input(spark, input_df, work_root):
     )
     m = pipe.metrics()
     assert m["rows"] == input_df.count() and m["partitions_done"] == 2
+
+
+def test_legacy_epochs_without_ts_index_stay_searchable(spark, input_df, work_root):
+    """A work dir whose early epochs predate the per-pattern timestamp
+    index (ledger rows only) must keep those epochs searchable via the
+    coarse ledger span when NEWER epochs have index rows."""
+    import shutil
+
+    pipe = IngestPipeline(spark, work_root, num_partitions=2)
+    pipe.run(input_df, partitions=[0])
+    # simulate a pre-index work dir for partition 0
+    shutil.rmtree(f"{work_root}/ts_index")
+    pipe.run(input_df)  # partition 1 writes index rows; 0 has none
+
+    idx = pipe.ts_index()
+    assert idx is not None
+    assert {r["partition_id"] for r in idx.collect()} == {1}
+    # both epochs must still be selectable (0 via the ledger fallback)
+    assert pipe.epochs_for_range() == [0, 1]
+    assert pipe.search("heartbeat").count() > 0
