@@ -81,6 +81,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default="",
                    help="Spark master override (default: inherit from launcher)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--search", default=None, metavar="WILDCARD",
+                   help="after ingest, run a dictionary search over the"
+                        " archive and print the match count (clp s)")
+    p.add_argument("--decompress-to", default=None, metavar="DIR",
+                   help="after ingest, reconstruct the original text into"
+                        " DIR in stable order (clp x)")
     return p
 
 
@@ -117,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
         pipe.run(input_df, partitions=args.partitions)
         blob = pipe.emit_metrics(args.metrics_out)
         print(blob)
+        if args.search is not None:
+            print(json.dumps({
+                "query": args.search,
+                "matches": pipe.search(args.search).count(),
+            }))
+        if args.decompress_to is not None:
+            pipe.decompress_to_text(args.decompress_to)
         return 0
     finally:
         spark.stop()

@@ -520,6 +520,25 @@ class IngestPipeline:
             ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms, **kw,
         )
 
+    def count_by_time(
+        self,
+        query: str,
+        bucket_ms: int = 3_600_000,
+        ts_begin_ms: int | None = None,
+        ts_end_ms: int | None = None,
+        **kw,
+    ) -> DataFrame:
+        """clo's aggregating search (`--count-by-time N`,
+        clp/clo/OutputHandler.hpp:255-286): the dictionary search feeds
+        the bucketed count reducer in one plan."""
+        from clp_core_spark.operators import aggregate
+
+        hits = self.search(
+            query, ts_begin_ms=ts_begin_ms, ts_end_ms=ts_end_ms,
+            select_cols=["ts"], **kw,
+        )
+        return aggregate.count_by_time(hits, bucket_ms=bucket_ms)
+
     def decompress_to_text(
         self,
         out_path: str,

@@ -405,3 +405,27 @@ def test_legacy_epochs_without_ts_index_stay_searchable(spark, input_df, work_ro
     # both epochs must still be selectable (0 via the ledger fallback)
     assert pipe.epochs_for_range() == [0, 1]
     assert pipe.search("heartbeat").count() > 0
+
+
+def test_pipeline_count_by_time(spark, input_df, work_root):
+    """clo --count-by-time over the archive: bucketed match counts equal
+    the direct-scan bucketing of the same matches."""
+    from clp_core_spark.functions.wildcard import wildcard_to_regex
+
+    pipe = IngestPipeline(spark, work_root, num_partitions=2)
+    pipe.run(input_df)
+    got = {
+        (r["bucket_ts"], r["count"])
+        for r in pipe.count_by_time("heartbeat", bucket_ms=3_600_000).collect()
+    }
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    want = {
+        (r["b"], r["n"])
+        for r in input_df.filter(
+            F.col("text").rlike(wildcard_to_regex("*heartbeat*"))
+        )
+        .groupBy((ms - F.pmod(ms, F.lit(3_600_000))).alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
