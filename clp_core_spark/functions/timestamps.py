@@ -89,7 +89,9 @@ _DIRECTIVES: dict[str, tuple[str, str]] = {
     # to_timestamp — Spark >= 3.0 refuses day-of-week letters in parse
     # patterns (and CLP doesn't cross-validate the weekday either).
     "%a": (_WEEKDAY_ABBR, ""),
-    "%l": (r"\d{1,2}", "h"),
+    # %l is a SPACE-PADDED 2-char hour on the 12-hour clock (" 1".."12",
+    # TimestampPattern.cpp:551-566) — same padding family as %k/%e
+    "%l": (r"[ \d]?\d", "h"),
     "%p": (r"[AP]M", "a"),
     "%k": (r"[ \d]?\d", "H"),
     "%e": (r"[ \d]?\d", "d"),
@@ -97,7 +99,7 @@ _DIRECTIVES: dict[str, tuple[str, str]] = {
 
 # Directives whose candidates need JVM-side normalization before parsing:
 # space-padded fields collapse their padding; %a strips the weekday token.
-_NEEDS_NORMALIZE = ("%k", "%e", "%a")
+_NEEDS_NORMALIZE = ("%k", "%e", "%a", "%l")
 
 # fmt used for CLP's relative-timestamp pattern: the matched integer IS
 # the timestamp in milliseconds (TimestampPattern.cpp:652-676, no leading
@@ -224,7 +226,7 @@ _FORMATTERS = {
     "%b": lambda ts: F.date_format(ts, "MMM"),
     "%B": lambda ts: F.date_format(ts, "MMMM"),
     "%a": lambda ts: F.date_format(ts, "EEE"),
-    "%l": lambda ts: F.date_format(ts, "h"),
+    "%l": lambda ts: F.lpad(F.date_format(ts, "h"), 2, " "),
     "%p": lambda ts: F.date_format(ts, "a"),
     "%k": lambda ts: F.lpad(F.date_format(ts, "H"), 2, " "),
     "%e": lambda ts: F.lpad(F.date_format(ts, "d"), 2, " "),
