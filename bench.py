@@ -130,6 +130,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "clp_search_regex",
         "clps_clpstring_search",
         "clps_multi_clpstring_search",
+        "clps_bool_tree_search",
         "kql_wildcard_key",
         "clps_unstructured_array_search",
         "clp_schema_search",

@@ -19,9 +19,10 @@ Spark-first layout:
   broadcast-semi-join machinery and the decode-verify residual stage.
 - :func:`kql_filter_clps` routes KQL clauses: ``col: value`` over an
   encoded ClpString column becomes a dictionary search + key semi-join;
-  all other clauses compile to Column predicates (operators.kql). Clauses
-  combine at the top level with a single connective (all-AND chains
-  intersect via successive semi-joins; all-OR chains union + dedup).
+  all other clauses compile to Column predicates (operators.kql). Any
+  AND/OR/NOT nesting normalizes to OR-of-ANDs first
+  (clp_s/search/OrOfAndForm.cpp): AND-groups chain semi-joins/filters,
+  groups union + dedup.
 """
 
 from __future__ import annotations
@@ -45,7 +46,10 @@ from clp_core_spark.operators.kql import (
 _SYNTH_SUFFIXES = ("logtype_id", "encoded_vars", "var_types", "n_vars", "present")
 
 def encode_clpstring_columns(
-    df: DataFrame, cols: list[str], key_cols: list[str]
+    df: DataFrame,
+    cols: list[str],
+    key_cols: list[str],
+    owned_persists: list | None = None,
 ) -> tuple[DataFrame, dict[str, tuple[DataFrame, DataFrame]]]:
     """CLP-encode each ClpString column in place: the raw string column is
     replaced by ``<col>__logtype_id/__encoded_vars/__var_types/__n_vars``
@@ -61,23 +65,43 @@ def encode_clpstring_columns(
     parsing each record once into all column writers
     (clp_s/JsonParser.cpp:125-232, clp_s/ColumnWriter.hpp:104-163).
     Dictionary IDs are content hashes computed inline (zero resolve
-    shuffle); logtype IDs attach via k broadcast joins on tiny dicts."""
+    shuffle); logtype IDs attach via k broadcast joins on tiny dicts.
+
+    The parsed relation is persisted (the dictionary builds and the
+    encoded output all read it). Ownership contract: pass
+    ``owned_persists`` (a list) and the persisted relation is appended to
+    it — the CALLER unpersists after materializing its results (the
+    returned DataFrames keep lineage on it, so it must outlive them).
+    Without it, the cache lives for the session — fine for a process
+    whose encoded relations are cached anyway, a leak in a long-lived
+    service."""
     from clp_core_spark.functions.tokenizer import VT_DICT
     from clp_core_spark.operators import dictionaries
 
     out = df
     for c in cols:
         out = out.withColumn(f"{c}__present", F.col(c).isNotNull())
-        # nulls become a real (empty) message so absent-leaf rows keep a
-        # valid logtype and survive the dictionary join
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
-    parsed = out.select(
-        "*",
-        *[
-            encode_pipeline._parse_slim_udf(F.col(c)).alias(f"_p_{c}")
-            for c in cols
-        ],
-    ).persist()
+    # encode_semistructured(clp_string_cols=...) computes the parse
+    # structs in ITS flatten projection (one corpus scan total) — reuse
+    # them; no second UDF pass and no second corpus-sized persist (the
+    # caller's relation already carries/caches them).
+    pre_parsed = all(f"_p_{c}" in df.columns for c in cols)
+    if pre_parsed:
+        parsed = out
+    else:
+        for c in cols:
+            # nulls become a real (empty) message so absent-leaf rows
+            # keep a valid logtype and survive the dictionary join
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+        parsed = out.select(
+            "*",
+            *[
+                encode_pipeline._parse_slim_udf(F.col(c)).alias(f"_p_{c}")
+                for c in cols
+            ],
+        ).persist()
+        if owned_persists is not None:
+            owned_persists.append(parsed)
 
     dicts: dict[str, tuple[DataFrame, DataFrame]] = {}
     enc = parsed
@@ -148,29 +172,140 @@ def search_clpstring_column(
     return encoded.join(hits.select(*key_cols), key_cols, "leftsemi")
 
 
-def _split_top_level(kql: str) -> tuple[list[str], list[str]]:
-    """Split a KQL string on depth-0 AND/OR keywords. Returns (clauses,
-    connectives); len(connectives) == len(clauses) - 1."""
+# --- boolean tree -> OR-of-ANDs (OrOfAndForm analog) -------------------------
+
+# distribution blowup guard: AND over n OR-groups multiplies group counts;
+# a query normalizing past this is pathological, not a log search
+_MAX_DNF_GROUPS = 128
+
+
+def _parse_bool_tree(kql: str):
+    """Parse a KQL query into a boolean tree over primitive clauses:
+    ``('and'|'or', [children])``, ``('not', child)``, or ``('leaf', text)``
+    where ``text`` is the source slice of ONE primitive expression
+    (descriptor match/range, nested-object query ``col: {...}``, value
+    list ``col: (...)``, or a bare value). AND/OR bind at EQUAL
+    precedence, left-associative — the reference ANTLR grammar puts them
+    in one alternative (clp_s/search/kql/Kql.g4)."""
     toks = _lex(kql)
-    depth = 0
-    clauses: list[str] = []
-    ops: list[str] = []
-    seg_start = 0
-    for t in toks:
-        if t.kind == "punct" and t.text in "({":
-            depth += 1
-        elif t.kind == "punct" and t.text in ")}":
-            depth -= 1
-        elif (
-            depth == 0
-            and t.kind == "lit"
-            and t.text.lower() in ("and", "or")
-        ):
-            clauses.append(kql[seg_start : t.start])
-            ops.append(t.text.lower())
-            seg_start = t.end
-    clauses.append(kql[seg_start:])
-    return clauses, ops
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def is_kw(t, kw):
+        return t is not None and t.kind == "lit" and t.text.lower() == kw
+
+    def query():
+        nonlocal pos
+        node = unary()
+        while True:
+            t = peek()
+            if is_kw(t, "and") or is_kw(t, "or"):
+                pos += 1
+                node = (t.text.lower(), [node, unary()])
+            else:
+                return node
+
+    def unary():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of KQL")
+        if is_kw(t, "not"):
+            pos += 1
+            return ("not", unary())
+        if t.kind == "punct" and t.text == "(":
+            pos += 1
+            node = query()
+            t = peek()
+            if t is None or t.text != ")":
+                raise ValueError("unbalanced ( in KQL")
+            pos += 1
+            return node
+        return leaf()
+
+    def balanced():
+        """Consume a bracketed ``{...}``/``(...)`` span (nested-object
+        subquery or value list — part of ONE primitive clause, handled
+        whole by KqlCompiler); returns its closing token."""
+        nonlocal pos
+        depth = 0
+        while True:
+            t = peek()
+            if t is None:
+                raise ValueError("unbalanced bracket in KQL")
+            pos += 1
+            if t.kind == "punct" and t.text in "({":
+                depth += 1
+            elif t.kind == "punct" and t.text in ")}":
+                depth -= 1
+                if depth == 0:
+                    return t
+
+    def leaf():
+        nonlocal pos
+        start_tok = peek()
+        if start_tok.kind not in ("lit", "quoted"):
+            raise ValueError(f"unexpected KQL token {start_tok.text!r}")
+        pos += 1
+        end_tok = start_tok
+        t = peek()
+        if t is not None and t.kind == "range_op":
+            pos += 1
+            if peek() is None:
+                raise ValueError("missing KQL range value")
+            end_tok = toks[pos]
+            pos += 1
+        elif t is not None and t.kind == "punct" and t.text == ":":
+            pos += 1
+            t = peek()
+            if t is None:
+                raise ValueError("missing KQL value")
+            if t.kind == "punct" and t.text in "({":
+                end_tok = balanced()
+            else:
+                end_tok = t
+                pos += 1
+        return ("leaf", kql[start_tok.start : end_tok.end])
+
+    node = query()
+    if pos != len(toks):
+        raise ValueError(f"trailing KQL tokens: {toks[pos:]}")
+    return node
+
+
+def _to_dnf(node) -> list[list[tuple[bool, str]]]:
+    """Normalize a boolean tree to OR-of-ANDs: push NOT to the leaves
+    (De Morgan), then distribute AND over OR (all combinations) — the
+    reference's OrOfAndForm pass (clp_s/search/OrOfAndForm.cpp:31-51
+    de_morgan, :108-179 simplify_and + insert_all_combinations). Returns
+    a list of AND-groups; each group is ``[(negated, leaf_text), ...]``."""
+    kind = node[0]
+    if kind == "leaf":
+        return [[(False, node[1])]]
+    if kind == "not":
+        inner = node[1]
+        if inner[0] == "leaf":
+            return [[(True, inner[1])]]
+        if inner[0] == "not":
+            return _to_dnf(inner[1])
+        flipped = "or" if inner[0] == "and" else "and"
+        return _to_dnf((flipped, [("not", c) for c in inner[1]]))
+    if kind == "or":
+        out: list[list[tuple[bool, str]]] = []
+        for c in node[1]:
+            out.extend(_to_dnf(c))
+        return out
+    prod: list[list[tuple[bool, str]]] = [[]]
+    for c in node[1]:
+        sub = _to_dnf(c)
+        prod = [g + h for g in prod for h in sub]
+        if len(prod) > _MAX_DNF_GROUPS:
+            raise ValueError(
+                f"KQL normalization exceeds {_MAX_DNF_GROUPS} OR-of-AND groups"
+            )
+    return prod
 
 
 def _clp_clause(toks: list[Tok], clp_cols) -> tuple[str, str] | None:
@@ -227,78 +362,106 @@ def kql_filter_clps(
     ignore_case: bool = False,
 ) -> DataFrame:
     """KQL over a clp_s-lite table whose ClpString columns are CLP-encoded.
-    ``col: value`` clauses on encoded columns run as dictionary searches
-    (search-without-decompression); wildcard-key clauses (``a.*: v``,
-    ``*: v``) and bare values resolve over plain leaves AND encoded
-    ClpString columns, unioning hits (SchemaMatch descriptor expansion);
-    everything else compiles to Column predicates. ``array_cols``:
-    JSON-text unstructured-array columns (see KqlCompiler). Top-level
-    connectives must be homogeneous (all AND or all OR) — parenthesize
-    to mix. ``ignore_case`` lowers the dictionary-search comparisons on
-    ClpString columns — clp_s's --ignore-case (search(1) surface); plain
-    Column predicates keep KQL's case-sensitive semantics."""
-    clauses, ops = _split_top_level(kql)
-    if ops and len(set(ops)) > 1:
-        raise ValueError(
-            "mixed top-level AND/OR over ClpString clauses is ambiguous; "
-            "parenthesize the KQL query"
-        )
 
-    def apply_clause(base: DataFrame, clause: str) -> DataFrame:
-        toks = _lex(clause)
-        negated = bool(toks) and toks[0].kind == "lit" and toks[0].text.lower() == "not"
-        body = toks[1:] if negated else toks
-        hit = _clp_clause(body, dicts)
+    ANY AND/OR/NOT nesting is supported: the query normalizes to
+    OR-of-ANDs (clp_s/search/OrOfAndForm.cpp), each AND-group runs as
+    plain-predicate filters plus dictionary-search semi-joins, and groups
+    union + dedup on ``key_cols`` — so
+    ``(msg: "*a*" OR note: "*b*") AND user > 5`` distributes into two
+    semi-join chains. ``col: value`` clauses on encoded columns run as
+    dictionary searches (search-without-decompression); wildcard-key
+    clauses (``a.*: v``, ``*: v``) and bare values resolve over plain
+    leaves AND encoded ClpString columns, unioning hits (SchemaMatch
+    descriptor expansion) — including under NOT, which anti-joins the
+    positive hit set from the rows where a descriptor-matched leaf is
+    present (clp_s NOT ranges over records whose schema HAS the column,
+    clp_s/search/SchemaMatch.cpp:70-174); everything else compiles to
+    Column predicates. Identical leaves distributed into many groups
+    compile/search ONCE (shared hit-key relation). ``array_cols``:
+    JSON-text unstructured-array columns (see KqlCompiler).
+    ``ignore_case`` lowers the dictionary-search comparisons on ClpString
+    columns — clp_s's --ignore-case (search(1) surface); plain Column
+    predicates keep KQL's case-sensitive semantics."""
+    groups = _to_dnf(_parse_bool_tree(kql))
+    plain = _plain_view(encoded, dicts)
+    comp = KqlCompiler(plain, array_json_cols=array_cols)
+
+    # Per-leaf plans, shared across AND-groups: distribution lands the
+    # same clause in many groups; its dictionary search / compiled
+    # predicate is built once and the hit-key relation reused (Spark's
+    # exchange reuse then shares the physical scan between groups).
+    plans: dict[str, tuple] = {}
+
+    def plan(text: str) -> tuple:
+        """-> ('pred', Column, None) | ('join', hit_keys_df, present_pred).
+        ``present_pred`` marks rows whose schema HAS a descriptor-matched
+        column — the range of NOT for dictionary-search clauses."""
+        if text in plans:
+            return plans[text]
+        toks = _lex(text)
+        hit = _clp_clause(toks, dicts)
         if hit is not None:
             col, value = hit
-            matched = search_clpstring_column(
-                base, col, dicts, value, key_cols, ignore_case=ignore_case
-            )
-            if not negated:
-                return matched
-            # clp_s NOT only ranges over records whose schema HAS the
-            # column (absent-leaf records match no schema for it).
-            return base.filter(F.col(f"{col}__present")).join(
-                matched.select(*key_cols), key_cols, "left_anti"
-            )
-        # wildcard key (or bare value = pure wildcard): resolve over plain
-        # leaves AND ClpString-encoded columns; hits union (SchemaMatch
-        # expands the descriptor to an OR over concrete leaves)
-        wild = _wildcard_clause(body) if not negated else None
+            keys = search_clpstring_column(
+                encoded, col, dicts, value, key_cols, ignore_case=ignore_case
+            ).select(*key_cols)
+            plans[text] = ("join", keys, F.col(f"{col}__present"))
+            return plans[text]
+        wild = _wildcard_clause(toks)
         if wild is not None:
             tokens, val_tok = wild
             matched_clp = [
                 c for c in dicts if _match_tokens(tokens, tuple(c.split("__")))
             ]
             if matched_clp:
-                comp = KqlCompiler(
-                    _plain_view(base, dicts), array_json_cols=array_cols
-                )
-                pred = comp.match_pred(tokens, val_tok)
-                keys = base.filter(pred).select(*key_cols)
+                keys = encoded.filter(
+                    comp.match_pred(tokens, val_tok)
+                ).select(*key_cols)
                 value = unescape_kql_value(val_tok.text)
+                present = comp._pred_on_path(
+                    tokens,
+                    lambda c, lt=None: c.isNotNull(),
+                    type_ok=comp._match_type_ok(val_tok),
+                )
                 for c in matched_clp:
                     keys = keys.unionByName(
                         search_clpstring_column(
-                            base, c, dicts, value, key_cols,
+                            encoded, c, dicts, value, key_cols,
                             ignore_case=ignore_case,
                         ).select(*key_cols)
                     )
-                return base.join(
-                    keys.dropDuplicates(key_cols), key_cols, "leftsemi"
-                )
-        return base.filter(
-            KqlCompiler(
-                _plain_view(base, dicts), array_json_cols=array_cols
-            ).compile(clause)
-        )
+                    present = present | F.col(f"{c}__present")
+                plans[text] = ("join", keys.dropDuplicates(key_cols), present)
+                return plans[text]
+        plans[text] = ("pred", comp.compile(text), None)
+        return plans[text]
 
-    if not ops or ops[0] == "and":
+    results: list[DataFrame] = []
+    for group in groups:
+        preds: list = []
+        semis: list[DataFrame] = []
+        antis: list[tuple] = []
+        for negated, text in group:
+            kind, payload, present = plan(text)
+            if kind == "pred":
+                preds.append(~payload if negated else payload)
+            elif negated:
+                antis.append((payload, present))
+            else:
+                semis.append(payload)
         out = encoded
-        for clause in clauses:
-            out = apply_clause(out, clause)
-        return out
-    results = [apply_clause(encoded, c) for c in clauses]
+        if preds:  # cheap pushable filters first, then the semi-joins
+            p = preds[0]
+            for q in preds[1:]:
+                p = p & q
+            out = out.filter(p)
+        for keys in semis:
+            out = out.join(keys, key_cols, "leftsemi")
+        for keys, present in antis:
+            out = out.filter(present).join(keys, key_cols, "left_anti")
+        results.append(out)
+    if len(results) == 1:
+        return results[0]
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -29,10 +29,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     input FILES — a pure driver-side catalog lookup, no RDD lineage and
     no job. File-backed inputs with >= cores files are left alone (at
     scale the scan already yields thousands of splits — no shuffle);
-    small or in-memory inputs repartition once."""
+    small or in-memory inputs repartition once. Few FILES can still mean
+    many partitions (one multi-GB file scans as many block splits; an
+    in-memory relation keeps its own partitioning), so the actual
+    partition count is the deciding check — repartition only when it
+    would RAISE parallelism, never shrink-and-shuffle."""
     cores = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if len(files) >= cores:
+        return df
+    if df.rdd.getNumPartitions() >= cores:
         return df
     return df.repartition(cores)
 

@@ -596,8 +596,13 @@ class KqlCompiler:
             allowed = {"byte", "short", "int", "bigint", "float", "double", "decimal"}
         else:
             allowed = {"string"}
+        # string-valued ranges must see string leaves (numeric_only=True
+        # would intersect to zero leaves and silently fold to lit(False))
         return self._pred_on_path(
-            tokens, leaf, numeric_only=True, type_ok=lambda lt: lt in allowed
+            tokens,
+            leaf,
+            numeric_only=allowed != {"string"},
+            type_ok=lambda lt: lt in allowed,
         )
 
     def match_pred(self, tokens: tuple, val: Tok) -> Column:

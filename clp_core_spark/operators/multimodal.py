@@ -2,11 +2,15 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic outputs) is real and tested; the actual media codecs are
-NOT available in this environment, so the decode kernels are stubbed:
-``decode_image`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic fake decoder (content-hash-seeded) stands in
-so downstream feature/resize/frame-sample operators are testable.
+deterministic outputs) is real and tested. Codec coverage: UNCOMPRESSED
+formats decode for real in pure numpy — BI_RGB 24/32-bit BMP
+(:func:`decode_bmp`) and PCM/float WAV (:func:`decode_wav`) — so the
+``fake=False`` path is exercised end-to-end on real bytes. Compressed
+codecs (PNG/JPEG/MP3/video) need external libraries this environment
+lacks; for those the decode kernels raise NotImplementedError unless
+``fake=True``, which substitutes a deterministic content-hash-seeded
+decoder so downstream feature/resize/frame-sample operators stay
+testable.
 
 Scale notes: media bytes stay in executor-side Arrow buffers end-to-end;
 ``spark.sql.files.maxPartitionBytes`` (or an explicit repartition by
@@ -40,13 +44,45 @@ def _fake_pixels(payload: bytes, width: int, height: int, channels: int) -> np.n
     return vals.astype(np.uint8).reshape(height, width, channels)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed (BI_RGB) 24/32-bit BMP:
+    little-endian header fields, 4-byte-padded rows, bottom-up unless
+    height is negative, BGR(A) byte order. Returns (h, w, ch) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def u16(o: int) -> int:
+        return int.from_bytes(payload[o : o + 2], "little")
+
+    def u32(o: int) -> int:
+        return int.from_bytes(payload[o : o + 4], "little")
+
+    data_off = u32(10)
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp, compression = u16(28), u32(30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError("only uncompressed 24/32-bit BI_RGB BMP")
+    nch = bpp // 8
+    h, bottom_up = abs(height), height > 0
+    stride = (width * nch + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, offset=data_off, count=stride * h)
+    px = px.reshape(h, stride)[:, : width * nch].reshape(h, width, nch)
+    if bottom_up:
+        px = px[::-1]
+    order = [2, 1, 0] + ([3] if nch == 4 else [])
+    return np.ascontiguousarray(px[:, :, order])
+
+
 def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False) -> np.ndarray:
     if fake:
         return _fake_pixels(payload, width, height, channels)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "real image decoding needs an image codec library (not in this "
-        "container); pass fake=True for the deterministic stub"
+        "only uncompressed BMP decodes without a codec library (none in "
+        "this container); pass fake=True for the deterministic stub"
     )
 
 
@@ -199,10 +235,52 @@ def frame_features(
     )
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE decoder: walks the chunk list, reads the fmt
+    chunk (PCM=1 at 8/16-bit, IEEE-float=3 at 32-bit) and the data chunk;
+    multi-channel audio downmixes by mean. Returns (float32 waveform in
+    [-1, 1], sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = max(int.from_bytes(fmt[2:4], "little"), 1)
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 1 and bits == 16:
+        wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        wave = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 3 and bits == 32:
+        wave = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"unsupported WAV encoding {audio_format}/{bits}")
+    if n_channels > 1:
+        wave = wave[: len(wave) - len(wave) % n_channels]
+        wave = wave.reshape(-1, n_channels).mean(axis=1).astype(np.float32)
+    return wave, rate
+
+
 def decode_audio(payload: bytes, num_samples: int, fake: bool = False) -> np.ndarray:
-    """Stub boundary for audio codecs (same contract as decode_image):
-    real decoding needs an audio library; ``fake=True`` derives a
-    deterministic float32 waveform in [-1, 1] from the payload hash."""
+    """Codec boundary (same contract as decode_image): real PCM/float WAV
+    decodes in pure numpy; compressed formats need an audio library;
+    ``fake=True`` derives a deterministic float32 waveform in [-1, 1]
+    from the payload hash."""
+    if not fake and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        wave, _rate = decode_wav(payload)
+        return wave
     if fake:
         seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
         idx = np.arange(num_samples, dtype=np.uint64)
@@ -212,8 +290,8 @@ def decode_audio(payload: bytes, num_samples: int, fake: bool = False) -> np.nda
             vals.astype(np.float32) / np.float32(1 << 24)
         ) * np.float32(2.0) - np.float32(1.0)
     raise NotImplementedError(
-        "real audio decoding needs an audio codec library (not in this "
-        "container); pass fake=True for the deterministic stub"
+        "only PCM/float WAV decodes without a codec library (none in "
+        "this container); pass fake=True for the deterministic stub"
     )
 
 

@@ -112,6 +112,7 @@ def encode_semistructured(
     schema: StructType | None = None,
     structurize_arrays: bool = False,
     infer_sample_rows: int | None = 100_000,
+    clp_string_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Parse ``json_col`` into typed leaf columns + a dense ``schema_id``.
 
@@ -135,7 +136,17 @@ def encode_semistructured(
     columns — single objects wrapped as one-element arrays — so a dotted
     query like ``arr.b > 1000`` matches a record when ANY element
     matches, across both shapes (golden behavior:
-    tests/test-clp_s-search.cpp:182, results {7, 8})."""
+    tests/test-clp_s-search.cpp:182, results {7, 8}).
+
+    ``clp_string_cols``: flattened names of string leaves destined for
+    CLP encoding (clps_search.encode_clpstring_columns). Their slim CLP
+    tokenize runs IN THE SAME projection as the JSON flatten — one
+    corpus scan and one ArrowEvalPython stage produce the typed leaves
+    AND every ClpString column's (logtype, vars) parse, mirroring clp_s
+    parsing each record once into all column writers
+    (clp_s/JsonParser.cpp:125-232). The parse structs ride along as
+    ``_p_<name>`` columns; encode_clpstring_columns detects and reuses
+    them instead of re-scanning."""
     spark = df.sparkSession
     if schema is None:
         schema = infer_json_schema(df, json_col, sample_rows=infer_sample_rows)
@@ -149,6 +160,15 @@ def encode_semistructured(
         if isinstance(dtype, ArrayType):
             col = F.to_json(col)  # array dict analog: arrays kept as JSON text
         flat_cols.append(col.alias(name))
+    if clp_string_cols:
+        from clp_core_spark.operators.encode_pipeline import _parse_slim_udf
+
+        by_name = {p.replace(".", "__"): (p, d) for p, d in leaves}
+        for c in clp_string_cols:
+            if c not in by_name or not isinstance(by_name[c][1], StringType):
+                raise ValueError(f"clp_string_cols entry {c!r} is not a string leaf")
+            src = F.coalesce(F.col(f"_j.{by_name[c][0]}"), F.lit(""))
+            flat_cols.append(_parse_slim_udf(src).alias(f"_p_{c}"))
     # one JSON parse, many consumers: the stats agg, structurize probes,
     # dense-ID bucket counts, schema map, and the returned table all read
     # this relation — without the persist each would re-run from_json over

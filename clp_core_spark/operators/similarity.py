@@ -165,9 +165,10 @@ def cosine_near_pairs(
     if chunks is None:
         chunks = max_hamming + 1
     if dim is None:
-        # prefer passing dim explicitly — this fallback is one driver
-        # first() (a tiny limit-1 job) just to size the hyperplanes
-        dim = len(df.select(vec_col).first()[0])
+        # the array type doesn't carry a length; the caller knows the
+        # embedding width (a driver-side limit-1 probe here would be a
+        # hidden job per call — at scale, one per pipeline stage)
+        raise ValueError("pass dim= (embedding width) explicitly")
     # signature math is interpreted (HOF dot products); a small input left
     # in 1-4 scan splits would compute it single-threaded — fan out first
     # (no-op at scale, where the scan yields many splits)

@@ -230,6 +230,13 @@ class IngestPipeline:
         return new_lt.count() + new_var.count()
 
     def _run_partition(self, part_df: DataFrame, partition_id: int) -> None:
+        # Under FAIR scheduling, fairness is BETWEEN pools (inside one
+        # pool the order is FIFO) — give each epoch's driver thread its
+        # own pool so concurrent epochs actually share executor slots
+        # instead of queueing behind the first-submitted epoch's stages.
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"epoch-{partition_id}"
+        )
         if self.dict_scope == "epoch":
             # archive-local dictionaries: nothing carries across epochs
             lt_existing = var_existing = None
@@ -485,6 +492,11 @@ class IngestPipeline:
             # they run through a thread pool so a 1000-archive search
             # doesn't serialize 1000 probe rounds.
             def _one(e: int) -> DataFrame | None:
+                # distinct pool per archive probe thread (FAIR shares
+                # between pools, not within one — see _run_partition)
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"search-epoch-{e}"
+                )
                 lt = self._load_dict("logtype", epoch_part=e)
                 vd = self._load_dict("var", epoch_part=e)
                 if lt is None or vd is None:

@@ -100,3 +100,135 @@ def test_ignore_case_clpstring_search(corpus):
         enc2, 'msg: "MSG 3:*"', dicts, ["rid"], ignore_case=True
     )
     assert {r["idx"] for r in relaxed.select("idx").collect()} == {3}
+
+
+# --- OrOfAndForm: arbitrary AND/OR/NOT nesting (clp_s/search/OrOfAndForm.cpp)
+
+
+def test_dnf_unit_distribution():
+    """(a OR b) AND c distributes to [[a,c],[b,c]]; NOT pushes to leaves
+    by De Morgan — pure-Python check of the normalization pass."""
+    tree = clps_search._parse_bool_tree('(a: 1 OR b: 2) AND c: 3')
+    groups = clps_search._to_dnf(tree)
+    assert [[t for _, t in g] for g in groups] == [
+        ["a: 1", "c: 3"], ["b: 2", "c: 3"]
+    ]
+    tree = clps_search._parse_bool_tree('NOT (a: 1 OR NOT b: 2)')
+    groups = clps_search._to_dnf(tree)
+    assert groups == [[(True, "a: 1"), (False, "b: 2")]]
+
+
+def test_dnf_keeps_subqueries_and_value_lists_whole():
+    """Brackets that belong to ONE primitive clause — nested-object
+    subqueries and value lists — must not be split by the tree parser."""
+    tree = clps_search._parse_bool_tree('obj: {x: 1 AND y: 2} OR col: (a or b)')
+    assert tree == (
+        "or",
+        [("leaf", "obj: {x: 1 AND y: 2}"), ("leaf", "col: (a or b)")],
+    )
+
+
+def test_mixed_boolean_tree_over_clpstring(corpus):
+    """(clp-search OR clp-search) AND plain-range — the everyday query
+    shape the homogeneous-chain restriction used to reject."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2,
+        '(msg: "*Abc123*" OR a: "clp string") AND idx > 2',
+        dicts,
+        ["rid"],
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {3, 5, 6}
+
+
+def test_not_over_parenthesized_or(corpus):
+    """NOT (p OR q) == NOT p AND NOT q; NOT over a ClpString search
+    ranges only over records whose schema HAS the column."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2, 'NOT (msg: "Msg 1: *" OR msg: "Msg 2: *")', dicts, ["rid"]
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {3, 5, 6}
+
+
+def test_and_or_equal_precedence_left_assoc(corpus):
+    """Reference grammar: AND and OR live in ONE alternative, binding
+    left-associatively at equal precedence — 'a OR b AND FALSE' is
+    '(a OR b) AND FALSE', not 'a OR (b AND FALSE)'."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2,
+        'a: "clp string" OR msg: "Msg 1: *" AND idx > 100',
+        dicts,
+        ["rid"],
+    )
+    assert got.count() == 0
+
+
+def test_negated_wildcard_key(corpus):
+    """NOT *: v must also exclude rows matching v inside ClpString
+    columns (the positive hit set unions dictionary searches; NOT
+    anti-joins it from the rows where a matched leaf is present)."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2, 'NOT *: "clp string"', dicts, ["rid"]
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_same_leaf_shared_across_groups(corpus):
+    """After distribution the repeated clause compiles once (plan cache):
+    (a AND c) OR (b AND c) — c's search relation is shared."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2,
+        '(idx < 3 OR idx > 4) AND msg: "*Abc123*"',
+        dicts,
+        ["rid"],
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {1, 2, 5, 6}
+
+
+def test_fused_encode_is_one_scan_and_matches_unfused(spark):
+    """encode_semistructured(clp_string_cols=...) computes the CLP parse
+    in the SAME projection as the JSON flatten: every ArrowEvalPython
+    occurrence in the final plan is the one fused node (both columns'
+    UDFs, identical expression ids) under the cached flat relation — the
+    parse executes once for the whole chain. Results must be identical
+    to the unfused two-pass path."""
+    rows = [
+        (i, '{"msg": "req num %d done", "note": "user %d ok", "user": %d}'
+         % (i, i % 7, i))
+        for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, "rid long, js string")
+    enc_f, _, _ = semistructured.encode_semistructured(
+        df, "js", key_cols=["rid"], clp_string_cols=["msg", "note"]
+    )
+    enc2_f, dicts_f = clps_search.encode_clpstring_columns(
+        enc_f, ["msg", "note"], key_cols=["rid"]
+    )
+    plan = enc2_f._jdf.queryExecution().executedPlan().toString()
+    nodes = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert nodes, plan
+    assert all(".msg" in ln and ".note" in ln for ln in nodes), plan
+    # each occurrence is a textual repeat inside the cached relation
+    assert plan.count("InMemoryTableScan") >= len(nodes), plan
+
+    enc_u, _, _ = semistructured.encode_semistructured(
+        df, "js", key_cols=["rid"]
+    )
+    enc2_u, dicts_u = clps_search.encode_clpstring_columns(
+        enc_u, ["msg", "note"], key_cols=["rid"]
+    )
+    q = '(msg: "*num 12*" OR note: "*user 3*") AND user > 5'
+    got_f = {r["rid"] for r in clps_search.kql_filter_clps(
+        enc2_f, q, dicts_f, ["rid"]).select("rid").collect()}
+    got_u = {r["rid"] for r in clps_search.kql_filter_clps(
+        enc2_u, q, dicts_u, ["rid"]).select("rid").collect()}
+    expect = {
+        i for i in range(128)
+        if (("num 12" in f"req num {i} done") or ("user 3" in f"user {i % 7} ok"))
+        and i > 5
+    }
+    assert got_f == got_u == expect

@@ -70,7 +70,7 @@ def test_cosine_near_pairs_finds_planted_pair(embeddings):
     """The planted near-copy (0, 199) must survive Hamming blocking and
     the pairs' cosines must equal brute-force recomputation."""
     out = similarity.cosine_near_pairs(
-        embeddings, threshold=0.9, num_planes=16, max_hamming=4
+        embeddings, threshold=0.9, num_planes=16, max_hamming=4, dim=DIM
     ).collect()
     pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
     assert (0, 199) in pairs and pairs[(0, 199)] > 0.99
@@ -80,7 +80,7 @@ def test_cosine_near_pairs_verify_is_exact(embeddings):
     """Every emitted pair really has cosine >= threshold AND signature
     hamming <= cutoff (no unverified candidates leak through)."""
     out = similarity.cosine_near_pairs(
-        embeddings, threshold=0.3, num_planes=16, max_hamming=4
+        embeddings, threshold=0.3, num_planes=16, max_hamming=4, dim=DIM
     ).collect()
     assert out, "expected at least the planted pair"
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)

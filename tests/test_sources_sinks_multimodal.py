@@ -271,3 +271,99 @@ def test_video_frame_features(spark):
     assert multi and any(
         v[0]["feature"] != v[1]["feature"] for v in multi
     )
+
+
+# --- real (pure-numpy) BMP / WAV decode, fake=False end-to-end ---------------
+
+
+def _bmp_bytes(px: "np.ndarray") -> bytes:
+    """Hand-assemble an uncompressed 24-bit BI_RGB BMP from an
+    (h, w, 3) uint8 RGB array: bottom-up rows, 4-byte row padding,
+    BGR byte order — the layout decode_bmp must invert."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\0" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + dib + rows
+
+
+def test_bmp_decodes_for_real(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    raw = _bmp_bytes(px)
+    # unit: decoder inverts padding/flip/BGR exactly
+    assert (multimodal.decode_bmp(raw) == px).all()
+    # end-to-end: image_stats with fake_decode=False over real BMP bytes
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), 3, 5, 3)],
+        "id long, data binary, width int, height int, channels int",
+    )
+    [r] = multimodal.image_stats(df, fake_decode=False).collect()
+    flat = px.astype(np.float64)
+    for ch in range(3):
+        assert abs(r["mean"][ch] - flat[:, :, ch].mean()) < 1e-4
+        assert abs(r["std"][ch] - flat[:, :, ch].std()) < 1e-4
+
+
+def _wav_bytes(wave16: "np.ndarray", rate: int) -> bytes:
+    import struct
+
+    data = wave16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_decodes_for_real(spark):
+    import numpy as np
+
+    n, rate, freq = 2048, 16_000, 1000.0
+    t = np.arange(n) / rate
+    wave = np.round(np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    raw = _wav_bytes(wave, rate)
+    got, got_rate = multimodal.decode_wav(raw)
+    assert got_rate == rate
+    ref = wave.astype(np.float32) / 32768.0
+    assert np.abs(got - ref).max() < 1e-6
+    # end-to-end: audio_features with fake_decode=False; the dominant
+    # rfft bin of a pure 1 kHz tone lands on 1000 Hz exactly (n*f/rate
+    # = 128 is integral)
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), n, rate)],
+        "id long, data binary, num_samples int, sample_rate int",
+    )
+    [r] = multimodal.audio_features(df, fake_decode=False).collect()
+    assert abs(r["rms"] - float(np.sqrt(np.mean(ref**2)))) < 1e-6
+    assert abs(r["dominant_hz"] - 1000.0) < 1e-6
+
+
+def test_stereo_wav_downmixes():
+    import numpy as np
+    import struct
+
+    left = np.array([1000, -1000, 2000, -2000], dtype="<i2")
+    right = np.array([3000, 1000, -2000, 2000], dtype="<i2")
+    inter = np.empty(8, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    raw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got, rate = multimodal.decode_wav(raw)
+    assert rate == 8000
+    expect = (left.astype(np.float32) + right) / 2.0 / 32768.0
+    assert np.abs(got - expect).max() < 1e-6
