@@ -324,6 +324,34 @@ def _clp_clause(toks: list[Tok], clp_cols) -> tuple[str, str] | None:
     return None
 
 
+def _clp_value_list(
+    toks: list[Tok], clp_cols
+) -> tuple[str, str, list[str]] | None:
+    """``col : (v1 v2 ...)`` / ``col : (and|or|not v1 v2 ...)`` with col
+    ClpString-encoded (the Kql.g4 value-list form). Returns
+    (col, mode, values) else None; mode defaults to 'or'
+    (kql.cpp value-list semantics, mirrored from KqlCompiler._value_list)."""
+    if not (
+        len(toks) >= 4
+        and toks[0].kind in ("lit", "quoted")
+        and toks[1].kind == "punct" and toks[1].text == ":"
+        and toks[2].kind == "punct" and toks[2].text == "("
+        and toks[-1].kind == "punct" and toks[-1].text == ")"
+    ):
+        return None
+    name = _unescape(toks[0].text)
+    if name not in clp_cols:
+        return None
+    body = toks[3:-1]
+    mode = "or"
+    if body and body[0].kind == "lit" and body[0].text.lower() in ("and", "or", "not"):
+        mode = body[0].text.lower()
+        body = body[1:]
+    if any(t.kind not in ("lit", "quoted") for t in body):
+        return None  # nested structure: not a flat value list
+    return name, mode, [unescape_kql_value(t.text) for t in body]
+
+
 def _wildcard_clause(toks: list[Tok]) -> tuple[tuple, Tok] | None:
     """``desc : value`` with wildcard tokens in the descriptor, or a bare
     value (clp_s's default-column search IS the pure-wildcard descriptor,
@@ -407,6 +435,31 @@ def kql_filter_clps(
             ).select(*key_cols)
             plans[text] = ("join", keys, F.col(f"{col}__present"))
             return plans[text]
+        vl = _clp_value_list(toks, dicts)
+        if vl is not None:
+            col, mode, values = vl
+            if not values:
+                plans[text] = ("pred", F.lit(False), None)
+                return plans[text]
+            hit_dfs = [
+                search_clpstring_column(
+                    encoded, col, dicts, v, key_cols, ignore_case=ignore_case
+                ).select(*key_cols)
+                for v in values
+            ]
+            keys = hit_dfs[0]
+            if mode == "and":
+                for h in hit_dfs[1:]:
+                    keys = keys.join(h, key_cols, "leftsemi")
+            else:
+                for h in hit_dfs[1:]:
+                    keys = keys.unionByName(h)
+                keys = keys.dropDuplicates(key_cols)
+            # 'not' lists negate the OR of their values (kql.cpp); the
+            # group loop composes this with any clause-level NOT
+            kind = "join_not" if mode == "not" else "join"
+            plans[text] = (kind, keys, F.col(f"{col}__present"))
+            return plans[text]
         wild = _wildcard_clause(toks)
         if wild is not None:
             tokens, val_tok = wild
@@ -445,7 +498,7 @@ def kql_filter_clps(
             kind, payload, present = plan(text)
             if kind == "pred":
                 preds.append(~payload if negated else payload)
-            elif negated:
+            elif negated != (kind == "join_not"):
                 antis.append((payload, present))
             else:
                 semis.append(payload)

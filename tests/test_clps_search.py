@@ -232,3 +232,27 @@ def test_fused_encode_is_one_scan_and_matches_unfused(spark):
         and i > 5
     }
     assert got_f == got_u == expect
+
+
+def test_value_list_over_clpstring(corpus):
+    """Value lists on an encoded column run as dictionary searches:
+    or-mode unions hits, and-mode intersects, not-mode negates the OR
+    over present rows (kql.cpp value-list semantics)."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2, 'msg: ("Msg 1: *" or "Msg 2: *")', dicts, ["rid"]
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {1, 2}
+    got = clps_search.kql_filter_clps(
+        enc2, 'msg: (and "Msg*" "*Abc123*")', dicts, ["rid"]
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {1, 2, 3, 5, 6}
+    got = clps_search.kql_filter_clps(
+        enc2, 'msg: (not "Msg 1: *" "Msg 2: *")', dicts, ["rid"]
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {3, 5, 6}
+    # clause-level NOT composes with the list's own negation
+    got = clps_search.kql_filter_clps(
+        enc2, 'NOT msg: (not "Msg 1: *" "Msg 2: *")', dicts, ["rid"]
+    )
+    assert {r["idx"] for r in got.select("idx").collect()} == {1, 2}
