@@ -91,11 +91,13 @@ def run_pipeline(spark, input_path: str, sinks_root: str) -> dict:
     enriched = route.with_logtype_class(
         enriched.join(F.broadcast(lt_dict), "logtype_id")
     ).drop("logtype")
-    # One materialization feeds all three sink writes + the counts.
+    # One materialization feeds all three sink writes + the counts; the
+    # counts job runs FIRST so the cache is built before the concurrent
+    # sink writers fan out (they then read it instead of racing on it).
     enriched = enriched.persist()
+    counts = route.sink_counts(enriched).collect()
     shutil.rmtree(sinks_root, ignore_errors=True)
     route.route(enriched, sinks_root, partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    counts = route.sink_counts(enriched).collect()
     # Dictionary construction is part of the mandated pipeline (groupBy
     # dedup over parsed variables) — materialize it inside the window.
     lt_n = lt_dict.count()

@@ -342,9 +342,17 @@ class IngestPipeline:
                 " min_ts timestamp, max_ts timestamp",
             ).write.mode("append").parquet(self.ts_index_path)
 
-        n_routed = 0
-        for kind in route.SINK_KINDS:
-            out = enriched.withColumn(kind, F.coalesce(F.col(kind), F.lit("__null__")))
+        def _write_sink(kind: str) -> None:
+            # distinct pool per sink family: the three writes are
+            # independent jobs over the persisted `enriched`, and
+            # overlapping their shuffle/encode/commit phases halves the
+            # route wall time (measured in operators.route.route)
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"epoch-{partition_id}-sink-{kind}"
+            )
+            out = enriched.withColumn(
+                kind, F.coalesce(F.col(kind), F.lit("__null__"))
+            )
             clustered = route.salted(
                 out, self.spark.sparkContext.defaultParallelism, kind,
                 salt_buckets=self.salt_buckets,
@@ -355,7 +363,18 @@ class IngestPipeline:
             self.store.overwrite_partitions(
                 clustered, f"by_{kind}", ["epoch_part", kind]
             )
-        n_routed = enriched.count() * len(route.SINK_KINDS)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # materialize the persist ONCE before fanning out the writers so
+        # the three jobs read the cache instead of racing to build it
+        n_rows = enriched.count()
+        with ThreadPoolExecutor(len(route.SINK_KINDS)) as sink_pool:
+            list(sink_pool.map(_write_sink, route.SINK_KINDS))
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"epoch-{partition_id}"
+        )
+        n_routed = n_rows * len(route.SINK_KINDS)
 
         if self.write_glt:
             # archival copy: logtype-clustered for min/max file skipping
