@@ -48,7 +48,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
         metavar="N_TURNS",
         help="synthesize a deterministic N-turn transcripts table instead",
     )
-    p.add_argument("--work-root", required=True, help="ledger/dicts/sinks root")
+    src.add_argument(
+        "--json-input",
+        help="clp-s analog: parquet table holding a JSON string column;"
+             " ingests it clp_s-style (typed leaves + schema IDs +"
+             " CLP-encoded ClpString columns) and serves --kql searches",
+    )
+    p.add_argument("--json-col", default="js",
+                   help="JSON column name for --json-input (default: js)")
+    p.add_argument("--key-col", default=None,
+                   help="unique record id column for --json-input"
+                        " (default: the table's first column)")
+    p.add_argument("--kql", default=None, metavar="QUERY",
+                   help="KQL query to run over the --json-input archive"
+                        " (clp-s s); dictionary searches on ClpString"
+                        " columns, any AND/OR/NOT nesting")
+    p.add_argument("--clp-string-cols", nargs="*", default=None,
+                   help="flattened names of string leaves to CLP-encode"
+                        " in the SAME pass as the JSON flatten; default:"
+                        " auto-detect from the schema tree (second pass)")
+    p.add_argument("--hits-out", default=None, metavar="DIR",
+                   help="write --kql matching records to DIR as parquet")
+    p.add_argument("--work-root", default=None, help="ledger/dicts/sinks root")
     p.add_argument("--num-partitions", type=int, default=16,
                    help="checkpoint partitions (pmod(xxhash64(conv_id), N))")
     p.add_argument("--salt-buckets", type=int, default=16,
@@ -90,8 +111,55 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _run_json_job(spark, args) -> int:
+    """The clp-s surface: ingest a JSON column clp_s-style and answer a
+    KQL query dictionary-first (clp_s/clp_s.cpp compress/search verbs).
+    With --clp-string-cols the CLP tokenize fuses into the flatten
+    projection (one corpus scan); without it the ClpString set is
+    auto-detected from the schema tree's space rule (a second pass)."""
+    from clp_core_spark.operators import clps_search, semistructured
+
+    df = spark.read.parquet(args.json_input)
+    key = args.key_col or df.columns[0]
+    enc, tree, smap = semistructured.encode_semistructured(
+        df, args.json_col, key_cols=[key],
+        clp_string_cols=args.clp_string_cols,
+    )
+    if args.clp_string_cols is not None:
+        clp_cols = list(args.clp_string_cols)
+    else:
+        clp_cols = [
+            r["path"].replace(".", "__")
+            for r in tree.collect()
+            if r["node_type"] == semistructured.T_CLPSTRING
+        ]
+    enc2, dicts = clps_search.encode_clpstring_columns(
+        enc, clp_cols, key_cols=[key]
+    )
+    out = {
+        "records": enc2.count(),
+        "schemas": smap.count(),
+        "clp_string_cols": clp_cols,
+    }
+    if args.kql:
+        from clp_core_spark.operators.kql import unstructured_array_cols
+
+        hits = clps_search.kql_filter_clps(
+            enc2, args.kql, dicts, [key],
+            array_cols=unstructured_array_cols(tree),
+        )
+        if args.hits_out:
+            hits.write.mode("overwrite").parquet(args.hits_out)
+        out["kql"] = args.kql
+        out["matches"] = hits.count()
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.json_input is None and args.work_root is None:
+        build_arg_parser().error("--work-root is required unless --json-input")
 
     from clp_core_spark.plans.pipeline import IngestPipeline
     from clp_core_spark.session import get_spark
@@ -103,6 +171,8 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     try:
+        if args.json_input is not None:
+            return _run_json_job(spark, args)
         if args.generate is not None:
             input_df = transcripts.generate_transcripts(spark, num_turns=args.generate)
         else:

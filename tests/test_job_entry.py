@@ -140,3 +140,39 @@ def test_job_cli_archival_mode(tmp_path):
         f"SELECT sum(n_rows) FROM '{work}/ledger/*.parquet'"
     ).fetchall()[0][0]
     assert glt_n == ledger_rows
+
+
+def test_job_cli_json_mode(tmp_path, spark):
+    """The clp-s verb pair through the CLI: --json-input ingests a JSON
+    column clp_s-style (fused ClpString encode) and --kql answers a
+    boolean-tree query dictionary-first; --hits-out lands the matches."""
+    src = str(tmp_path / "json_src")
+    rows = [
+        (i, '{"msg": "req num %d done", "user": %d}' % (i, i)) for i in range(200)
+    ]
+    spark.createDataFrame(rows, "rid long, js string").write.parquet(src)
+
+    hits_out = str(tmp_path / "hits")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "clp_core_spark.job",
+            "--json-input", src,
+            "--json-col", "js",
+            "--key-col", "rid",
+            "--clp-string-cols", "msg",
+            "--kql", 'msg: "*num 12*" AND user > 5',
+            "--hits-out", hits_out,
+            "--master", "local[4]",
+            "--shuffle-partitions", "8",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["records"] == 200
+    assert out["clp_string_cols"] == ["msg"]
+    expect = {i for i in range(200) if "num 12" in f"req num {i} done" and i > 5}
+    assert out["matches"] == len(expect)
+    got = {r["rid"] for r in spark.read.parquet(hits_out).select("rid").collect()}
+    assert got == expect
