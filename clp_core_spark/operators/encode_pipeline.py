@@ -277,11 +277,22 @@ def decode(
     out_col: str = "decoded_text",
     broadcast_threshold: int = BROADCAST_VAR_DICT_MAX,
     var_dict_count: int | None = None,
+    slim_to_needed: bool = False,
 ) -> DataFrame:
     """Inverse of :func:`encode` — reconstruct the original message
     (clp/EncodedVariableInterpreter.cpp:298-367). Used by the roundtrip
     equality gate and the decompress-to-text sink. Pass ``var_dict_count``
-    when known to skip the strategy-selection count job."""
+    when known to skip the strategy-selection count job.
+
+    ``slim_to_needed``: when the rows to decode are a SMALL residue of
+    the corpus (search's wildcard-verify stage) but the dictionary is
+    big, first semi-join the dictionary down to the var IDs those rows
+    actually reference — the residue references few distinct vars, so
+    decode then takes the zero-shuffle broadcast-map path instead of
+    shipping the full dictionary (a 1.16M-entry dict costs a ~25 MB
+    broadcast + explode/regroup per query without this). Leave False
+    for full-corpus decodes, where "needed" IS the whole dictionary and
+    the slimming pass would just add work."""
     df = encoded.join(F.broadcast(logtype_dict), "logtype_id")
 
     # Resolve dict-var IDs back to strings, in order of appearance.
@@ -291,6 +302,10 @@ def decode(
     df = df.withColumn("_dict_ids", F.transform(pairs, lambda s: s["encoded_vars"]))
 
     var_count = var_dict.count() if var_dict_count is None else var_dict_count
+    if slim_to_needed and var_count > broadcast_threshold:
+        needed = df.select(F.explode("_dict_ids").alias("var_id")).distinct()
+        var_dict = var_dict.join(F.broadcast(needed), "var_id", "leftsemi")
+        var_count = var_dict.count()
     if var_count <= broadcast_threshold:
         spark = encoded.sparkSession
         mapping = {r["var_id"]: r["var_str"] for r in var_dict.collect()}

@@ -779,12 +779,14 @@ def search(
         if lit_verify and join_verify or len(join_verify) > 1:
             candidates = candidates.dropDuplicates(key_cols)
         # Residual verify (Grep.cpp:935-951): decode the (small) residue
-        # and wildcard-match against the processed query string.
+        # and wildcard-match against the processed query string; the
+        # dictionary slims to the residue's own var IDs first, so big
+        # dicts never shuffle/broadcast whole for a verify.
         from clp_core_spark.operators import encode_pipeline
 
         decoded = encode_pipeline.decode(
             candidates, logtype_dict, var_dict, key_cols,
-            var_dict_count=var_dict_count,
+            var_dict_count=var_dict_count, slim_to_needed=True,
         )
         pat = compiled.search_string
         col = F.col("decoded_text")
