@@ -541,6 +541,36 @@ def _process_var_token(tok: QueryToken, probes: DictProbes, sub: SubQueryPlan,
     return True
 
 
+def _prefetch_var_probes(tokens: list[QueryToken], probes: DictProbes) -> None:
+    """Warm the probe memo concurrently. Every var-dict probe the
+    odometer can issue is known from the token list alone (one probe per
+    dict-only token: exact for literal values, wildcard otherwise;
+    mid-star tokens never probe), but the odometer discovers them one by
+    one, serializing one bounded Spark job per probe. Running them as
+    parallel driver-thread jobs makes compile wall time ~= the slowest
+    single probe instead of the sum (CLP compiles against in-memory
+    dictionaries, Grep.cpp:460-496 — this is the distributed-dictionary
+    analog of that zero-latency access)."""
+    keys: list[tuple[str, str]] = []
+    for tok in tokens:
+        if tok.has_mid_star or not tok.cannot_convert_to_non_dict_var:
+            continue
+        keys.append(("wild" if tok.contains_wildcards else "exact", tok.value))
+    keys = list(dict.fromkeys(keys))
+    if len(keys) < 2:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(k: tuple[str, str]) -> None:
+        if k[0] == "exact":
+            probes.var_exact(k[1])
+        else:
+            probes.var_wildcard(k[1])
+
+    with ThreadPoolExecutor(min(len(keys), 8)) as pool:
+        list(pool.map(_one, keys))
+
+
 def compile_query(
     search_string: str,
     logtype_dict: DataFrame,
@@ -587,6 +617,7 @@ def compile_query(
 
     out = CompiledQuery(search_string=processed, ignore_case=ignore_case)
     probes = DictProbes(logtype_dict, var_dict, ignore_case, max_literal_ids)
+    _prefetch_var_probes(tokens, probes)
 
     changed = True
     while changed:
