@@ -182,13 +182,21 @@ _MAX_DNF_GROUPS = 128
 def _parse_bool_tree(kql: str):
     """Parse a KQL query into a boolean tree over primitive clauses:
     ``('and'|'or', [children])``, ``('not', child)``, or ``('leaf', text)``
-    where ``text`` is the source slice of ONE primitive expression
-    (descriptor match/range, nested-object query ``col: {...}``, value
-    list ``col: (...)``, or a bare value). AND/OR bind at EQUAL
-    precedence, left-associative — the reference ANTLR grammar puts them
-    in one alternative (clp_s/search/kql/Kql.g4)."""
+    where ``text`` is the rebuilt text of ONE primitive expression
+    (descriptor match/range, value list ``col: (...)``, or a bare
+    value). AND/OR bind at EQUAL precedence, left-associative — the
+    reference ANTLR grammar puts them in one alternative
+    (clp_s/search/kql/Kql.g4).
+
+    Nested-object subqueries ``col: {x: 1 AND y: 2}`` expand IN the tree
+    to prefixed clauses ``(col.x: 1 AND col.y: 2)`` (clp_s NestedQuery,
+    keys resolve under the ``col.`` prefix) — so their inner clauses
+    participate in the OR-of-ANDs normalization and can target encoded
+    ClpString columns; bare values inside braces keep default-column
+    semantics (no prefix), matching KqlCompiler."""
     toks = _lex(kql)
     pos = 0
+    prefix: list[str] = []  # nested-object descriptor stack
 
     def peek():
         return toks[pos] if pos < len(toks) else None
@@ -226,9 +234,9 @@ def _parse_bool_tree(kql: str):
         return leaf()
 
     def balanced():
-        """Consume a bracketed ``{...}``/``(...)`` span (nested-object
-        subquery or value list — part of ONE primitive clause, handled
-        whole by KqlCompiler); returns its closing token."""
+        """Consume a bracketed ``(...)`` span (a value list — part of ONE
+        primitive clause, handled whole downstream); returns its closing
+        token."""
         nonlocal pos
         depth = 0
         while True:
@@ -243,31 +251,56 @@ def _parse_bool_tree(kql: str):
                 if depth == 0:
                     return t
 
+    def desc_text(tok: Tok) -> str:
+        """Descriptor token as prefix-composable text: quoted segments
+        unescape to plain text with dots/backslashes re-escaped so the
+        rewritten clause re-lexes to the same descriptor tokens."""
+        if tok.kind != "quoted":
+            return tok.text
+        plain = _unescape(tok.text)
+        return plain.replace("\\", "\\\\").replace(".", "\\.")
+
     def leaf():
         nonlocal pos
         start_tok = peek()
         if start_tok.kind not in ("lit", "quoted"):
             raise ValueError(f"unexpected KQL token {start_tok.text!r}")
         pos += 1
-        end_tok = start_tok
         t = peek()
         if t is not None and t.kind == "range_op":
+            op = t.text
             pos += 1
-            if peek() is None:
+            val = peek()
+            if val is None:
                 raise ValueError("missing KQL range value")
-            end_tok = toks[pos]
             pos += 1
-        elif t is not None and t.kind == "punct" and t.text == ":":
+            desc = ".".join(prefix + [desc_text(start_tok)])
+            return ("leaf", f"{desc} {op} {val.text}")
+        if t is not None and t.kind == "punct" and t.text == ":":
             pos += 1
             t = peek()
             if t is None:
                 raise ValueError("missing KQL value")
-            if t.kind == "punct" and t.text in "({":
-                end_tok = balanced()
-            else:
-                end_tok = t
+            if t.kind == "punct" and t.text == "{":
+                # nested-object subquery: expand under the prefix
                 pos += 1
-        return ("leaf", kql[start_tok.start : end_tok.end])
+                prefix.append(desc_text(start_tok))
+                node = query()
+                prefix.pop()
+                t = peek()
+                if t is None or t.text != "}":
+                    raise ValueError("unbalanced { in KQL")
+                pos += 1
+                return node
+            desc = ".".join(prefix + [desc_text(start_tok)])
+            if t.kind == "punct" and t.text == "(":
+                start = t.start
+                end_tok = balanced()
+                return ("leaf", f"{desc}: {kql[start : end_tok.end]}")
+            pos += 1
+            return ("leaf", f"{desc}: {t.text}")
+        # bare value: default-column search, prefix does not apply
+        return ("leaf", start_tok.text)
 
     node = query()
     if pos != len(toks):
@@ -308,9 +341,20 @@ def _to_dnf(node) -> list[list[tuple[bool, str]]]:
     return prod
 
 
+def _flat_descriptor(raw: str) -> str | None:
+    """Wildcard-free descriptor -> the flattened column name its path
+    addresses (``obj.msg`` -> ``obj__msg``, escaped dots stay literal);
+    None when the descriptor has wildcard tokens."""
+    tokens = _descriptor_tokens(raw)
+    if any(w for _, w in tokens):
+        return None
+    return "__".join(t for t, _ in tokens)
+
+
 def _clp_clause(toks: list[Tok], clp_cols) -> tuple[str, str] | None:
-    """If the clause is exactly ``col : value`` with col ClpString-encoded,
-    return (col, kql-unescaped value) else None."""
+    """If the clause is exactly ``col : value`` with col ClpString-encoded
+    (dotted descriptors address flattened nested leaves), return
+    (col, kql-unescaped value) else None."""
     if (
         len(toks) == 3
         and toks[0].kind in ("lit", "quoted")
@@ -318,8 +362,8 @@ def _clp_clause(toks: list[Tok], clp_cols) -> tuple[str, str] | None:
         and toks[1].text == ":"
         and toks[2].kind in ("lit", "quoted")
     ):
-        name = _unescape(toks[0].text)
-        if name in clp_cols:
+        name = _flat_descriptor(toks[0].text)
+        if name is not None and name in clp_cols:
             return name, unescape_kql_value(toks[2].text)
     return None
 
@@ -339,8 +383,8 @@ def _clp_value_list(
         and toks[-1].kind == "punct" and toks[-1].text == ")"
     ):
         return None
-    name = _unescape(toks[0].text)
-    if name not in clp_cols:
+    name = _flat_descriptor(toks[0].text)
+    if name is None or name not in clp_cols:
         return None
     body = toks[3:-1]
     mode = "or"

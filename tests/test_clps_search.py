@@ -118,13 +118,23 @@ def test_dnf_unit_distribution():
     assert groups == [[(True, "a: 1"), (False, "b: 2")]]
 
 
-def test_dnf_keeps_subqueries_and_value_lists_whole():
-    """Brackets that belong to ONE primitive clause — nested-object
-    subqueries and value lists — must not be split by the tree parser."""
+def test_dnf_subquery_expansion_and_value_lists_whole():
+    """Nested-object subqueries expand to prefixed clauses (clp_s
+    NestedQuery) so their inner clauses join the normalization; value
+    lists stay ONE primitive clause."""
     tree = clps_search._parse_bool_tree('obj: {x: 1 AND y: 2} OR col: (a or b)')
     assert tree == (
         "or",
-        [("leaf", "obj: {x: 1 AND y: 2}"), ("leaf", "col: (a or b)")],
+        [
+            ("and", [("leaf", "obj.x: 1"), ("leaf", "obj.y: 2")]),
+            ("leaf", "col: (a or b)"),
+        ],
+    )
+    # deep nesting + NOT inside braces
+    tree = clps_search._parse_bool_tree('a: {b: {c: 1} AND NOT d > 5}')
+    assert tree == (
+        "and",
+        [("leaf", "a.b.c: 1"), ("not", ("leaf", "a.d > 5"))],
     )
 
 
@@ -256,3 +266,29 @@ def test_value_list_over_clpstring(corpus):
         enc2, 'NOT msg: (not "Msg 1: *" "Msg 2: *")', dicts, ["rid"]
     )
     assert {r["idx"] for r in got.select("idx").collect()} == {1, 2}
+
+
+def test_nested_object_query_over_encoded_clpstring(spark):
+    """clp_s NestedQuery meets the mini-Grep: `obj: {msg: "*x*"}` must
+    run as a dictionary search on the flattened encoded leaf obj__msg —
+    and the dotted form `obj.msg: v` addresses the same column."""
+    rows = [
+        (i, '{"obj": {"msg": "req num %d done", "lvl": %d}}' % (i, i % 4))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "rid long, js string")
+    enc, tree, _ = semistructured.encode_semistructured(
+        df, "js", key_cols=["rid"], clp_string_cols=["obj__msg"]
+    )
+    enc2, dicts = clps_search.encode_clpstring_columns(
+        enc, ["obj__msg"], key_cols=["rid"]
+    )
+    expect = {i for i in range(60) if "num 1" in f"req num {i} done" and i % 4 == 2}
+    got = clps_search.kql_filter_clps(
+        enc2, 'obj: {msg: "*num 1*" AND lvl: 2}', dicts, ["rid"]
+    )
+    assert {r["rid"] for r in got.select("rid").collect()} == expect
+    got2 = clps_search.kql_filter_clps(
+        enc2, 'obj.msg: "*num 1*" AND obj.lvl: 2', dicts, ["rid"]
+    )
+    assert {r["rid"] for r in got2.select("rid").collect()} == expect
