@@ -61,6 +61,92 @@ def count_by_time_stream(
     )
 
 
+SESSION_SCHEMA = (
+    "conv_id string, session_start_ms long, session_end_ms long, n_turns long"
+)
+_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_ms: int = 300_000,
+    watermark: str = "10 minutes",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator: per-conversation SESSIONIZATION with
+    ``applyInPandasWithState`` — the Spark-native shape for operators the
+    built-in windowed aggs can't express (a session has a data-dependent
+    extent: it closes when the NEXT turn is more than ``gap_ms`` away).
+
+    State per conversation = the open session (start_ms, last_ms,
+    n_turns), carried across micro-batches. Each batch merges its
+    (sorted) turns into the open session, emitting every session a gap
+    closes; an event-time timeout at ``last_ms + gap_ms`` (clamped above
+    the watermark) flushes the final open session once the watermark
+    passes it, so sessions complete without waiting for more data on
+    their key. Late rows inside the watermark extend the open session;
+    rows later than that are dropped by the watermark (same lateness
+    contract as count_by_time_stream).
+
+    Output (append mode): one row per CLOSED session —
+    (conv_id, session_start_ms, session_end_ms, n_turns)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cols = ["conv_id", "session_start_ms", "session_end_ms", "n_turns"]
+        sessions: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            sessions.append((key[0], start, last, n))
+            state.remove()
+        else:
+            parts = [pdf for pdf in pdfs if len(pdf)]
+            ts_sorted = (
+                pd.concat(parts, ignore_index=True)["_ts_ms"]
+                .sort_values()
+                .astype("int64")
+                .to_numpy()
+                if parts
+                else []
+            )
+            cur = tuple(state.get) if state.exists else None
+            for t in ts_sorted:
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_ms:
+                    sessions.append((key[0], cur[0], cur[1], cur[2]))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # the flush alarm: must sit strictly above the current
+                # watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                    max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(sessions, columns=cols)
+
+    return (
+        stream.withColumn(
+            "_ts_ms", F.unix_millis(F.col(ts_col).cast("timestamp"))
+        )
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            assemble,
+            SESSION_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 class StreamingEncoder:
     """foreachBatch handler: encode + enrich + route each micro-batch,
     growing the dictionaries across batches (epoch = micro-batch)."""

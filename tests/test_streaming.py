@@ -64,3 +64,82 @@ def test_count_by_time_stream(spark, staged):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_stream_matches_batch_islands(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must emit exactly the
+    sessions a batch gaps-and-islands computation produces, with state
+    carried across micro-batches (one file per trigger) and the final
+    open sessions flushed by the event-time timeout once a
+    watermark-advancing sentinel lands."""
+    from pyspark.sql import Window
+
+    inp = str(tmp_path / "sess_input")
+    gap_ms = 60_000
+    base = 1_700_000_000_000
+    # conv A: two sessions split by a 5-min gap spanning files;
+    # conv B: one session whose turns arrive across both files
+    rows_f1 = [
+        ("A", 0, base + 0), ("A", 1, base + 10_000), ("A", 2, base + 20_000),
+        ("B", 0, base + 5_000),
+    ]
+    rows_f2 = [
+        ("A", 3, base + 320_000), ("A", 4, base + 330_000),
+        ("B", 1, base + 40_000), ("B", 2, base + 95_000),
+    ]
+    flush_ts = base + 10_000_000  # >> last + gap + watermark
+    rows_f3 = [("__flush__", 0, flush_ts)]
+
+    def _write(rows):
+        spark.createDataFrame(
+            [(c, i, t) for c, i, t in rows], "conv_id string, turn_idx int, _ms long"
+        ).select(
+            "conv_id", "turn_idx",
+            F.lit("user").alias("role"), F.lit("x").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_millis(F.col("_ms")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    for rows in (rows_f1, rows_f2, rows_f3):
+        _write(rows)
+
+    stream = sp.read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    sess = sp.sessionize_stream(stream, gap_ms=gap_ms, watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["session_start_ms"], r["session_end_ms"], r["n_turns"])
+        for r in spark.sql(
+            "SELECT * FROM sessions WHERE conv_id != '__flush__'"
+        ).collect()
+    }
+
+    # batch oracle: gaps-and-islands over the same rows
+    all_rows = [(c, i, t) for rows in (rows_f1, rows_f2) for c, i, t in rows]
+    df = spark.createDataFrame(all_rows, "conv_id string, turn_idx int, ms long")
+    w = Window.partitionBy("conv_id").orderBy("ms")
+    boundary = (
+        F.when(F.lag("ms").over(w).isNull(), 1)
+        .when(F.col("ms") - F.lag("ms").over(w) > gap_ms, 1)
+        .otherwise(0)
+    )
+    islands = df.withColumn("_b", boundary).withColumn(
+        "_sess", F.sum("_b").over(w)
+    )
+    want = {
+        (r["conv_id"], r["session_start_ms"], r["session_end_ms"], r["n_turns"])
+        for r in islands.groupBy("conv_id", "_sess")
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.max("ms").alias("session_end_ms"),
+            F.count("*").alias("n_turns"),
+        )
+        .collect()
+    }
+    assert got == want
