@@ -1162,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         # exact 3-gram Jaccard; MinHash-LSH shares this oracle because every
         # planted near-dup pair sits far above the 0.5 threshold (j ~ 0.99),
         # where banded detection probability is ~1 and deterministic
-        # (xxhash64 seeds are fixed).
+        # (the shingle base hash + universal-hash coefficients are fixed).
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,
         # margin-clean corpus (see _q_dedup_simhash_prod): the hamming<=3
