@@ -530,8 +530,25 @@ def kql_filter_clps(
                     present = present | F.col(f"{c}__present")
                 plans[text] = ("join", keys.dropDuplicates(key_cols), present)
                 return plans[text]
-        plans[text] = ("pred", comp.compile(text), None)
+        # fresh compiler per plain leaf: KqlCompiler.compile mutates
+        # parser state (toks/pos), and leaves plan concurrently below
+        plans[text] = (
+            "pred",
+            KqlCompiler(plain, array_json_cols=array_cols).compile(text),
+            None,
+        )
         return plans[text]
+
+    # Plan every unique leaf CONCURRENTLY: each ClpString leaf's plan
+    # compiles a dictionary search (driver probe jobs — the expensive
+    # part), and distribution reuses leaves across groups, so total plan
+    # wall time ~= the slowest single leaf instead of the sum.
+    unique_leaves = list(dict.fromkeys(t for g in groups for _, t in g))
+    if len(unique_leaves) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(len(unique_leaves), 8)) as pool:
+            list(pool.map(plan, unique_leaves))
 
     results: list[DataFrame] = []
     for group in groups:
