@@ -122,15 +122,26 @@ def ivf_centroids(dim: int, nlist: int) -> list[list[float]]:
 
 def ivf_assign(vec_col: Column, dim: int, nlist: int) -> Column:
     """1-based IVF cell = argmax dot(vec, centroid_i) (spherical coarse
-    quantization; first index wins ties — array_position semantics match
-    DuckDB's list_position for the oracle)."""
-    dists = F.array(
-        *[
-            _dot(vec_col, F.array(*[F.lit(c) for c in cent]))
-            for cent in ivf_centroids(dim, nlist)
+    quantization; first index wins ties — numpy argmax takes the first
+    maximum, matching DuckDB's list_position for the oracle). One
+    ``(n, dim) @ (dim, nlist)`` matmul per Arrow batch — the inlined
+    per-centroid aggregate form carried nlist*dim float literals into
+    the plan (see hyperplane_signature for the same trade measured)."""
+    import numpy as np
+
+    cents = np.array(ivf_centroids(dim, nlist), dtype=np.float64).T
+
+    @pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(v, dtype=np.float64) if v is not None
+            else np.zeros(dim, dtype=np.float64)
+            for v in vecs
         ]
-    )
-    return F.array_position(dists, F.array_max(dists))
+        m = np.vstack(arrs) if arrs else np.zeros((0, dim), dtype=np.float64)
+        return pd.Series((m @ cents).argmax(axis=1) + 1)
+
+    return _assign(vec_col)
 
 
 def ivf_topk(
