@@ -69,6 +69,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         " auto-detect from the schema tree (second pass)")
     p.add_argument("--hits-out", default=None, metavar="DIR",
                    help="write --kql matching records to DIR as parquet")
+    p.add_argument("--decode-strings", action="store_true",
+                   help="re-attach decoded text for the CLP-encoded"
+                        " string columns in --hits-out (clp_s marshals"
+                        " whole records back in results)")
     p.add_argument("--work-root", default=None, help="ledger/dicts/sinks root")
     p.add_argument("--num-partitions", type=int, default=16,
                    help="checkpoint partitions (pmod(xxhash64(conv_id), N))")
@@ -149,7 +153,13 @@ def _run_json_job(spark, args) -> int:
             array_cols=unstructured_array_cols(tree),
         )
         if args.hits_out:
-            hits.write.mode("overwrite").parquet(args.hits_out)
+            out_df = hits
+            if args.decode_strings:
+                for c in clp_cols:
+                    out_df = clps_search.decode_clpstring_column(
+                        out_df, c, dicts, [key]
+                    )
+            out_df.write.mode("overwrite").parquet(args.hits_out)
         out["kql"] = args.kql
         out["matches"] = hits.count()
     print(json.dumps(out))

@@ -146,6 +146,37 @@ def encode_clpstring_columns(
     return enc.drop(*[f"_p_{c}" for c in cols]), dicts
 
 
+def decode_clpstring_column(
+    encoded: DataFrame,
+    col: str,
+    dicts: dict[str, tuple[DataFrame, DataFrame]],
+    key_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Reconstruct a ClpString column's text from its encoded form
+    (per-column logtype/var dictionaries + encoded vars) — the output
+    side of clp_s search: results marshal whole records back, including
+    the CLP-encoded string leaves (clp_s/search/Output.cpp:20-189).
+    Absent-leaf rows (``<col>__present`` false) decode to NULL. Returns
+    ``encoded`` with ``out_col`` (default: the original column name)
+    attached."""
+    lt, vd = dicts[col]
+    view = encoded.select(
+        *key_cols,
+        F.col(f"{col}__logtype_id").alias("logtype_id"),
+        F.col(f"{col}__encoded_vars").alias("encoded_vars"),
+        F.col(f"{col}__var_types").alias("var_types"),
+        F.col(f"{col}__present").alias("_pres"),
+    )
+    dec = encode_pipeline.decode(view, lt, vd, key_cols)
+    out_col = out_col or col
+    dec = dec.select(
+        *key_cols,
+        F.when(F.col("_pres"), F.col("decoded_text")).alias(out_col),
+    )
+    return encoded.join(dec, key_cols, "left")
+
+
 def search_clpstring_column(
     encoded: DataFrame,
     col: str,

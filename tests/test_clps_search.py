@@ -292,3 +292,20 @@ def test_nested_object_query_over_encoded_clpstring(spark):
         enc2, 'obj.msg: "*num 1*" AND obj.lvl: 2', dicts, ["rid"]
     )
     assert {r["rid"] for r in got2.select("rid").collect()} == expect
+
+
+def test_decode_clpstring_column_roundtrips(corpus):
+    """Result marshalling (clp_s Output.cpp): the encoded ClpString
+    columns decode back to their EXACT original values, with absent
+    leaves as NULL."""
+    import json as _json
+
+    enc2, dicts = corpus
+    out = enc2
+    for c in dicts:
+        out = clps_search.decode_clpstring_column(out, c, dicts, ["rid"])
+    got = {r["rid"]: {c: r[c] for c in dicts} for r in out.collect()}
+    for rid, rec in enumerate(RECORDS):
+        orig = _json.loads(rec)
+        for c in dicts:
+            assert got[rid][c] == orig.get(c), (rid, c)
