@@ -73,6 +73,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="re-attach decoded text for the CLP-encoded"
                         " string columns in --hits-out (clp_s marshals"
                         " whole records back in results)")
+    p.add_argument("--project", default=None, metavar="PATHS",
+                   help="comma-separated leaf paths to keep in"
+                        " --hits-out (clp_s --projection); encoded"
+                        " string leaves decode automatically")
     p.add_argument("--work-root", default=None, help="ledger/dicts/sinks root")
     p.add_argument("--num-partitions", type=int, default=16,
                    help="checkpoint partitions (pmod(xxhash64(conv_id), N))")
@@ -154,7 +158,22 @@ def _run_json_job(spark, args) -> int:
         )
         if args.hits_out:
             out_df = hits
-            if args.decode_strings:
+            if args.project is not None:
+                # clp_s --projection (clp_s/search/Projection.cpp):
+                # results carry only the named leaves; encoded string
+                # leaves among them decode to their original values
+                wanted = [
+                    p.strip().replace(".", "__")
+                    for p in args.project.split(",")
+                    if p.strip()
+                ]
+                for c in wanted:
+                    if c in clp_cols:
+                        out_df = clps_search.decode_clpstring_column(
+                            out_df, c, dicts, [key]
+                        )
+                out_df = out_df.select(key, *wanted)
+            elif args.decode_strings:
                 for c in clp_cols:
                     out_df = clps_search.decode_clpstring_column(
                         out_df, c, dicts, [key]

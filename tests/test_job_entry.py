@@ -176,3 +176,32 @@ def test_job_cli_json_mode(tmp_path, spark):
     assert out["matches"] == len(expect)
     got = {r["rid"] for r in spark.read.parquet(hits_out).select("rid").collect()}
     assert got == expect
+
+
+def test_job_cli_projection_decodes_strings(tmp_path, spark):
+    """--project keeps only the named leaves in --hits-out and decodes
+    CLP-encoded string leaves among them (clp_s --projection)."""
+    src = str(tmp_path / "proj_src")
+    rows = [
+        (i, '{"msg": "call id %d ok", "n": %d, "tag": "t%d"}' % (i, i, i))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "rid long, js string").write.parquet(src)
+    hits_out = str(tmp_path / "hits")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "clp_core_spark.job",
+            "--json-input", src, "--key-col", "rid",
+            "--clp-string-cols", "msg",
+            "--kql", "n > 35",
+            "--hits-out", hits_out, "--project", "msg,n",
+            "--master", "local[4]", "--shuffle-partitions", "8",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    back = spark.read.parquet(hits_out)
+    assert back.columns == ["rid", "msg", "n"]
+    got = sorted((r["rid"], r["msg"], r["n"]) for r in back.collect())
+    assert got == [(i, f"call id {i} ok", i) for i in range(36, 40)]
