@@ -309,3 +309,44 @@ def test_decode_clpstring_column_roundtrips(corpus):
         orig = _json.loads(rec)
         for c in dicts:
             assert got[rid][c] == orig.get(c), (rid, c)
+
+
+def test_dnf_evaluation_equals_direct_compile(spark):
+    """Property check for the OrOfAndForm path: on a corpus with NO
+    encoded columns, kql_filter_clps (parse tree -> De Morgan -> DNF ->
+    filters/unions) must return exactly the rows a direct KqlCompiler
+    predicate does, for seeded-random boolean trees up to depth 4."""
+    import random
+
+    from clp_core_spark.operators.kql import KqlCompiler
+
+    df = spark.createDataFrame(
+        [(i, i % 11, f"x{i % 7}", (i % 13) / 2.0) for i in range(300)],
+        "rid long, a long, b string, c double",
+    ).persist()
+    df.count()
+    leaves = ['a > 3', 'a < 7', 'b: x2', 'b: "x*"', 'c >= 2.5', 'b: x5']
+
+    def gen(rng, depth):
+        r = rng.random()
+        if depth >= 4 or r < 0.35:
+            return rng.choice(leaves)
+        if r < 0.5:
+            return f"NOT ({gen(rng, depth + 1)})"
+        op = rng.choice(["AND", "OR"])
+        return f"({gen(rng, depth + 1)} {op} {gen(rng, depth + 1)})"
+
+    rng = random.Random(20260817)
+    for trial in range(25):
+        q = gen(rng, 0)
+        want = {
+            r["rid"]
+            for r in df.filter(KqlCompiler(df).compile(q)).select("rid").collect()
+        }
+        got = {
+            r["rid"]
+            for r in clps_search.kql_filter_clps(df, q, {}, ["rid"])
+            .select("rid")
+            .collect()
+        }
+        assert got == want, q
