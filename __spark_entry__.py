@@ -657,10 +657,11 @@ def _q_clps_multi_clpstring(spark, sf_dir):
 
 def _q_clps_bool_tree(spark, sf_dir):
     """Mixed AND-of-OR over ClpString dictionary searches + a typed
-    predicate — the OrOfAndForm normalization
-    (clp_s/search/OrOfAndForm.cpp:108-179): the query distributes to two
-    AND-groups, each a plain filter + dictionary-search semi-join, and
-    the groups union + dedup."""
+    predicate — NOT pushes to leaves (OrOfAndForm's De Morgan half,
+    clp_s/search/OrOfAndForm.cpp:31-51) and the whole tree evaluates as
+    ONE Column over ONE corpus scan: the dictionary hit-sets left-join
+    in as boolean markers, the typed predicate stays a pushable filter
+    (single-pass row evaluation, clp_s/search/Output.cpp:20-189)."""
     from clp_core_spark.operators import clps_search
 
     enc2, dicts = _multi_clps(spark, sf_dir)
@@ -1233,8 +1234,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
             " AND ('note for user ' || CAST(user_id AS VARCHAR))"
             " LIKE '%user 3%'"
         ),
-        # OrOfAndForm: (p OR q) AND r — the engine distributes, the
-        # oracle states the original tree; results must agree
+        # (p OR q) AND r — the engine evaluates the tree in one pass
+        # (markers + single filter), the oracle states the original
+        # tree; results must agree
         "clps_bool_tree_search": (
             "SELECT event_id FROM events"
             " WHERE (('evt num ' || CAST(event_id AS VARCHAR))"

@@ -20,9 +20,13 @@ Spark-first layout:
 - :func:`kql_filter_clps` routes KQL clauses: ``col: value`` over an
   encoded ClpString column becomes a dictionary search + key semi-join;
   all other clauses compile to Column predicates (operators.kql). Any
-  AND/OR/NOT nesting normalizes to OR-of-ANDs first
-  (clp_s/search/OrOfAndForm.cpp): AND-groups chain semi-joins/filters,
-  groups union + dedup.
+  AND/OR/NOT nesting is evaluated in ONE pass over ONE corpus scan: NOT
+  pushes to the leaves (the De Morgan half of clp_s's OrOfAndForm pass,
+  clp_s/search/OrOfAndForm.cpp:31-51), dictionary hit-sets become
+  boolean marker columns, and the whole tree compiles to a single
+  Column predicate — mirroring the reference's per-row one-pass tree
+  evaluation (clp_s/search/Output.cpp:20-189) without OrOfAndForm's
+  AND-over-OR distribution, which on Spark would multiply corpus scans.
 """
 
 from __future__ import annotations
@@ -84,12 +88,14 @@ def encode_clpstring_columns(
     # encode_semistructured(clp_string_cols=...) computes the parse
     # structs in ITS flatten projection (one corpus scan total) — reuse
     # them; no second UDF pass and no second corpus-sized persist (the
-    # caller's relation already carries/caches them).
-    pre_parsed = all(f"_p_{c}" in df.columns for c in cols)
-    if pre_parsed:
+    # caller's relation already carries/caches them). A PARTIAL pre-parse
+    # (some columns fused, others not) parses only the missing columns —
+    # the existing _p_<c> structs are kept, never re-aliased.
+    missing = [c for c in cols if f"_p_{c}" not in df.columns]
+    if not missing:
         parsed = out
     else:
-        for c in cols:
+        for c in missing:
             # nulls become a real (empty) message so absent-leaf rows
             # keep a valid logtype and survive the dictionary join
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
@@ -97,7 +103,7 @@ def encode_clpstring_columns(
             "*",
             *[
                 encode_pipeline._parse_slim_udf(F.col(c)).alias(f"_p_{c}")
-                for c in cols
+                for c in missing
             ],
         ).persist()
         if owned_persists is not None:
@@ -203,11 +209,7 @@ def search_clpstring_column(
     return encoded.join(hits.select(*key_cols), key_cols, "leftsemi")
 
 
-# --- boolean tree -> OR-of-ANDs (OrOfAndForm analog) -------------------------
-
-# distribution blowup guard: AND over n OR-groups multiplies group counts;
-# a query normalizing past this is pathological, not a log search
-_MAX_DNF_GROUPS = 128
+# --- boolean tree -> negation normal form (OrOfAndForm's De Morgan half) -----
 
 
 def _parse_bool_tree(kql: str):
@@ -330,7 +332,13 @@ def _parse_bool_tree(kql: str):
                 return ("leaf", f"{desc}: {kql[start : end_tok.end]}")
             pos += 1
             return ("leaf", f"{desc}: {t.text}")
-        # bare value: default-column search, prefix does not apply
+        # bare value: default-column search. Inside a nested-object
+        # subquery the implicit '*' descriptor is prefixed too (kql.cpp
+        # visitNestedQuery prepends the column to EVERY descriptor,
+        # including the wildcard one), so `col: {x: 1 AND "bar"}`
+        # searches "bar" only under col.* — not the whole record.
+        if prefix:
+            return ("leaf", f"{'.'.join(prefix)}.*: {start_tok.text}")
         return ("leaf", start_tok.text)
 
     node = query()
@@ -339,37 +347,31 @@ def _parse_bool_tree(kql: str):
     return node
 
 
-def _to_dnf(node) -> list[list[tuple[bool, str]]]:
-    """Normalize a boolean tree to OR-of-ANDs: push NOT to the leaves
-    (De Morgan), then distribute AND over OR (all combinations) — the
+def _to_nnf(node, neg: bool = False):
+    """Push NOT to the leaves (De Morgan) — the first half of the
     reference's OrOfAndForm pass (clp_s/search/OrOfAndForm.cpp:31-51
-    de_morgan, :108-179 simplify_and + insert_all_combinations). Returns
-    a list of AND-groups; each group is ``[(negated, leaf_text), ...]``."""
+    de_morgan). The second half (AND-over-OR distribution,
+    :108-179 insert_all_combinations) is deliberately NOT performed:
+    the reference distributes because its row evaluator walks flat
+    AND-group lists, but Spark evaluates the whole tree as one Column
+    in one pass, and distribution would duplicate leaves — turning a
+    500-term OR into 500 groups with no scan to show for it. Returns a
+    tree of ``('and'|'or', [children])`` and ``('leafn', negated,
+    text)`` nodes — no interior NOT nodes remain."""
     kind = node[0]
     if kind == "leaf":
-        return [[(False, node[1])]]
+        return ("leafn", neg, node[1])
     if kind == "not":
-        inner = node[1]
-        if inner[0] == "leaf":
-            return [[(True, inner[1])]]
-        if inner[0] == "not":
-            return _to_dnf(inner[1])
-        flipped = "or" if inner[0] == "and" else "and"
-        return _to_dnf((flipped, [("not", c) for c in inner[1]]))
-    if kind == "or":
-        out: list[list[tuple[bool, str]]] = []
-        for c in node[1]:
-            out.extend(_to_dnf(c))
-        return out
-    prod: list[list[tuple[bool, str]]] = [[]]
-    for c in node[1]:
-        sub = _to_dnf(c)
-        prod = [g + h for g in prod for h in sub]
-        if len(prod) > _MAX_DNF_GROUPS:
-            raise ValueError(
-                f"KQL normalization exceeds {_MAX_DNF_GROUPS} OR-of-AND groups"
-            )
-    return prod
+        return _to_nnf(node[1], not neg)
+    flipped = ("or" if kind == "and" else "and") if neg else kind
+    return (flipped, [_to_nnf(c, neg) for c in node[1]])
+
+
+def _nnf_leaves(node) -> list[tuple[bool, str]]:
+    """All ``(negated, text)`` leaves of an NNF tree, in order."""
+    if node[0] == "leafn":
+        return [(node[1], node[2])]
+    return [leaf for c in node[1] for leaf in _nnf_leaves(c)]
 
 
 def _flat_descriptor(raw: str) -> str | None:
@@ -466,33 +468,37 @@ def kql_filter_clps(
 ) -> DataFrame:
     """KQL over a clp_s-lite table whose ClpString columns are CLP-encoded.
 
-    ANY AND/OR/NOT nesting is supported: the query normalizes to
-    OR-of-ANDs (clp_s/search/OrOfAndForm.cpp), each AND-group runs as
-    plain-predicate filters plus dictionary-search semi-joins, and groups
-    union + dedup on ``key_cols`` — so
-    ``(msg: "*a*" OR note: "*b*") AND user > 5`` distributes into two
-    semi-join chains. ``col: value`` clauses on encoded columns run as
-    dictionary searches (search-without-decompression); wildcard-key
-    clauses (``a.*: v``, ``*: v``) and bare values resolve over plain
-    leaves AND encoded ClpString columns, unioning hits (SchemaMatch
-    descriptor expansion) — including under NOT, which anti-joins the
-    positive hit set from the rows where a descriptor-matched leaf is
-    present (clp_s NOT ranges over records whose schema HAS the column,
-    clp_s/search/SchemaMatch.cpp:70-174); everything else compiles to
-    Column predicates. Identical leaves distributed into many groups
-    compile/search ONCE (shared hit-key relation). ``array_cols``:
-    JSON-text unstructured-array columns (see KqlCompiler).
-    ``ignore_case`` lowers the dictionary-search comparisons on ClpString
-    columns — clp_s's --ignore-case (search(1) surface); plain Column
-    predicates keep KQL's case-sensitive semantics."""
-    groups = _to_dnf(_parse_bool_tree(kql))
+    ANY AND/OR/NOT nesting is supported, and the whole tree executes in
+    ONE pass over ONE scan of the corpus — the Spark analog of the
+    reference evaluating the full boolean tree per row in a single pass
+    (clp_s/search/Output.cpp:20-189). NOT pushes to the leaves (De
+    Morgan, clp_s/search/OrOfAndForm.cpp:31-51); ``col: value`` clauses
+    on encoded columns run as dictionary searches
+    (search-without-decompression) whose hit-key sets are left-joined in
+    as boolean marker columns; every other clause compiles to a Column
+    predicate; the NNF tree then evaluates as a single Column ``filter``.
+    A query with no dictionary leaf at all is one filter — no joins, no
+    union, no dedup shuffle. Dictionary leaves that are top-level AND
+    conjuncts skip the marker and run as cheaper semi-/anti-joins.
+    Wildcard-key clauses (``a.*: v``, ``*: v``) and bare values resolve
+    over plain leaves AND encoded ClpString columns, unioning hits
+    (SchemaMatch descriptor expansion) — including under NOT, which
+    ranges over rows where a descriptor-matched leaf is present (clp_s
+    NOT ranges over records whose schema HAS the column,
+    clp_s/search/SchemaMatch.cpp:70-174). Repeated leaves compile/search
+    ONCE (shared hit-key relation). ``array_cols``: JSON-text
+    unstructured-array columns (see KqlCompiler). ``ignore_case`` lowers
+    the dictionary-search comparisons on ClpString columns — clp_s's
+    --ignore-case (search(1) surface); plain Column predicates keep
+    KQL's case-sensitive semantics."""
+    nnf = _to_nnf(_parse_bool_tree(kql))
     plain = _plain_view(encoded, dicts)
     comp = KqlCompiler(plain, array_json_cols=array_cols)
 
-    # Per-leaf plans, shared across AND-groups: distribution lands the
-    # same clause in many groups; its dictionary search / compiled
-    # predicate is built once and the hit-key relation reused (Spark's
-    # exchange reuse then shares the physical scan between groups).
+    # Per-leaf plans, shared across the tree: the same clause appearing
+    # several times gets ONE dictionary search / compiled predicate, and
+    # the hit-key relation is reused (Spark's exchange reuse then shares
+    # the physical scan between occurrences).
     plans: dict[str, tuple] = {}
 
     def plan(text: str) -> tuple:
@@ -572,42 +578,76 @@ def kql_filter_clps(
 
     # Plan every unique leaf CONCURRENTLY: each ClpString leaf's plan
     # compiles a dictionary search (driver probe jobs — the expensive
-    # part), and distribution reuses leaves across groups, so total plan
-    # wall time ~= the slowest single leaf instead of the sum.
-    unique_leaves = list(dict.fromkeys(t for g in groups for _, t in g))
+    # part), so total plan wall time ~= the slowest single leaf instead
+    # of the sum.
+    leaves = _nnf_leaves(nnf)
+    unique_leaves = list(dict.fromkeys(t for _, t in leaves))
     if len(unique_leaves) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(len(unique_leaves), 8)) as pool:
             list(pool.map(plan, unique_leaves))
 
-    results: list[DataFrame] = []
-    for group in groups:
-        preds: list = []
-        semis: list[DataFrame] = []
-        antis: list[tuple] = []
-        for negated, text in group:
-            kind, payload, present = plan(text)
-            if kind == "pred":
-                preds.append(~payload if negated else payload)
-            elif negated != (kind == "join_not"):
-                antis.append((payload, present))
-            else:
-                semis.append(payload)
-        out = encoded
-        if preds:  # cheap pushable filters first, then the semi-joins
-            p = preds[0]
-            for q in preds[1:]:
-                p = p & q
-            out = out.filter(p)
-        for keys in semis:
-            out = out.join(keys, key_cols, "leftsemi")
-        for keys, present in antis:
+    # Top-level AND conjuncts that are single dictionary leaves run as
+    # semi-/anti-joins (no marker column, no left join — the planner's
+    # cheapest hit-set application); everything else evaluates inside
+    # the one-scan Column predicate.
+    conjuncts = list(nnf[1]) if nnf[0] == "and" else [nnf]
+    simple: list[tuple[bool, str]] = []
+    complex_nodes: list = []
+    for c in conjuncts:
+        if c[0] == "leafn" and plan(c[2])[0] != "pred":
+            simple.append((c[1], c[2]))
+        else:
+            complex_nodes.append(c)
+
+    # Dictionary leaves inside the complex part become boolean marker
+    # columns: left-join the (deduped) hit-key set with a TRUE flag, so
+    # the tree can reference "row is in this hit set" as a Column.
+    marker_of: dict[str, str] = {}
+    out = encoded
+    for negated, text in dict.fromkeys(
+        leaf for n in complex_nodes for leaf in _nnf_leaves(n)
+    ):
+        kind, payload, _ = plan(text)
+        if kind == "pred" or text in marker_of:
+            continue
+        m = f"_hit_{len(marker_of)}"
+        marker_of[text] = m
+        keys = payload.dropDuplicates(key_cols).withColumn(m, F.lit(True))
+        out = out.join(keys, key_cols, "left")
+
+    def leaf_col(negated: bool, text: str):
+        kind, payload, present = plan(text)
+        if kind == "pred":
+            return ~payload if negated else payload
+        flag = F.coalesce(F.col(marker_of[text]), F.lit(False))
+        # a not-mode value list is itself a negation; clause-level NOT
+        # composes with it. The negative side ranges over present rows.
+        if negated != (kind == "join_not"):
+            return present & ~flag
+        return flag
+
+    def eval_node(node):
+        if node[0] == "leafn":
+            return leaf_col(node[1], node[2])
+        cols = [eval_node(c) for c in node[1]]
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = (acc & c) if node[0] == "and" else (acc | c)
+        return acc
+
+    if complex_nodes:
+        pred = eval_node(complex_nodes[0])
+        for n in complex_nodes[1:]:
+            pred = pred & eval_node(n)
+        out = out.filter(pred)
+    if marker_of:
+        out = out.drop(*marker_of.values())
+    for negated, text in simple:
+        kind, keys, present = plan(text)
+        if negated != (kind == "join_not"):
             out = out.filter(present).join(keys, key_cols, "left_anti")
-        results.append(out)
-    if len(results) == 1:
-        return results[0]
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.dropDuplicates(key_cols)
+        else:
+            out = out.join(keys, key_cols, "leftsemi")
+    return out

@@ -73,8 +73,8 @@ VERDICTS = {
         "per-column dictionary searches chain as key semi-joins"
     ),
     "clps_bool_tree_search": (
-        "intended — OrOfAndForm groups share the per-leaf hit relations "
-        "(plan cache), union + dedup on the key"
+        "intended — single-pass tree eval: dictionary hit-sets left-join "
+        "in as boolean markers, one corpus-scan filter, no union/dedup"
     ),
     "clps_not_wildcard_search": (
         "intended — positive hit set (plain OR dict-search union) "

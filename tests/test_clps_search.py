@@ -102,20 +102,61 @@ def test_ignore_case_clpstring_search(corpus):
     assert {r["idx"] for r in relaxed.select("idx").collect()} == {3}
 
 
-# --- OrOfAndForm: arbitrary AND/OR/NOT nesting (clp_s/search/OrOfAndForm.cpp)
+# --- OrOfAndForm's De Morgan half: arbitrary AND/OR/NOT nesting
+# (clp_s/search/OrOfAndForm.cpp:31-51; distribution intentionally skipped —
+# the tree evaluates as ONE Column over ONE scan)
 
 
-def test_dnf_unit_distribution():
-    """(a OR b) AND c distributes to [[a,c],[b,c]]; NOT pushes to leaves
-    by De Morgan — pure-Python check of the normalization pass."""
+def test_nnf_pushes_not_to_leaves():
+    """NOT pushes to leaves by De Morgan; no interior NOT nodes remain,
+    and AND/OR structure is preserved (no distribution)."""
     tree = clps_search._parse_bool_tree('(a: 1 OR b: 2) AND c: 3')
-    groups = clps_search._to_dnf(tree)
-    assert [[t for _, t in g] for g in groups] == [
-        ["a: 1", "c: 3"], ["b: 2", "c: 3"]
-    ]
+    nnf = clps_search._to_nnf(tree)
+    assert nnf == (
+        "and",
+        [
+            ("or", [("leafn", False, "a: 1"), ("leafn", False, "b: 2")]),
+            ("leafn", False, "c: 3"),
+        ],
+    )
     tree = clps_search._parse_bool_tree('NOT (a: 1 OR NOT b: 2)')
-    groups = clps_search._to_dnf(tree)
-    assert groups == [[(True, "a: 1"), (False, "b: 2")]]
+    nnf = clps_search._to_nnf(tree)
+    assert nnf == (
+        "and", [("leafn", True, "a: 1"), ("leafn", False, "b: 2")]
+    )
+
+
+def test_wide_or_is_single_scan(corpus):
+    """A pure-predicate OR chain — even a wide one — compiles to ONE
+    disjunctive filter over ONE scan: no join, no union, no dedup
+    exchange in the physical plan (the r4 DNF execution produced one
+    scan per OR-group plus a corpus-sized dedup)."""
+    enc2, dicts = corpus
+    q = " OR ".join(f"idx: {i}" for i in range(40))
+    got = clps_search.kql_filter_clps(enc2, q, dicts, ["rid"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # everything ABOVE the first cached-corpus scan must be just the one
+    # disjunctive Filter — no Union, no Join, no dedup exchange (the
+    # text below/inside InMemoryTableScan is the corpus BUILD lineage)
+    top = plan.split("InMemoryTableScan", 1)[0]
+    assert "Filter" in top, plan
+    for bad in ("Union", "Join", "Exchange", "Aggregate"):
+        assert bad not in top, plan
+    assert {r["idx"] for r in got.select("idx").collect()} == set(range(9))
+
+
+def test_mixed_tree_is_single_corpus_pass(corpus):
+    """(clp-search OR plain) — the dictionary hit-set left-joins in as a
+    marker flag and the tree evaluates on one corpus pass: the corpus
+    relation is scanned once as the probe side (plus the self-join scans
+    that BUILD the tiny hit-key set), never unioned with itself."""
+    enc2, dicts = corpus
+    got = clps_search.kql_filter_clps(
+        enc2, 'msg: "*Abc123*" OR idx: 0', dicts, ["rid"]
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    assert {r["idx"] for r in got.select("idx").collect()} == {0, 1, 2, 3, 5, 6}
 
 
 def test_dnf_subquery_expansion_and_value_lists_whole():
@@ -292,6 +333,48 @@ def test_nested_object_query_over_encoded_clpstring(spark):
         enc2, 'obj.msg: "*num 1*" AND obj.lvl: 2', dicts, ["rid"]
     )
     assert {r["rid"] for r in got2.select("rid").collect()} == expect
+
+
+def test_nested_bare_value_scopes_to_prefix(spark):
+    """A bare value inside a nested-object subquery searches only under
+    that column's subtree — kql.cpp visitNestedQuery prepends the column
+    to the implicit '*' descriptor too, so `col: {x: 1 AND "bar"}` must
+    NOT match rows where "bar" appears outside col.*."""
+    rows = [
+        (0, '{"col": {"x": 1, "y": "bar"}, "other": "baz"}'),
+        (1, '{"col": {"x": 1, "y": "baz"}, "other": "bar"}'),
+        (2, '{"col": {"x": 2, "y": "bar"}, "other": "bar"}'),
+    ]
+    df = spark.createDataFrame(rows, "rid long, js string")
+    enc, _, _ = semistructured.encode_semistructured(df, "js", key_cols=["rid"])
+    got = clps_search.kql_filter_clps(enc, 'col: {x: 1 AND "bar"}', {}, ["rid"])
+    assert {r["rid"] for r in got.select("rid").collect()} == {0}
+
+
+def test_partial_pre_parse_encodes_missing_columns_only(spark):
+    """A PARTIAL pre-parse (one column fused via encode_semistructured,
+    the other not) must parse only the missing column — the r4
+    all-or-nothing check re-aliased the existing _p_ column and made the
+    later references ambiguous (AnalysisException)."""
+    rows = [
+        (i, '{"msg": "req num %d done", "note": "user %d ok"}' % (i, i % 5))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "rid long, js string")
+    enc, _, _ = semistructured.encode_semistructured(
+        df, "js", key_cols=["rid"], clp_string_cols=["msg"]  # note NOT fused
+    )
+    enc2, dicts = clps_search.encode_clpstring_columns(
+        enc, ["msg", "note"], key_cols=["rid"]
+    )
+    got = clps_search.kql_filter_clps(
+        enc2, 'msg: "*num 12*" OR note: "*user 3*"', dicts, ["rid"]
+    )
+    expect = {
+        i for i in range(40)
+        if "num 12" in f"req num {i} done" or "user 3" in f"user {i % 5} ok"
+    }
+    assert {r["rid"] for r in got.select("rid").collect()} == expect
 
 
 def test_decode_clpstring_column_roundtrips(corpus):
