@@ -131,62 +131,78 @@ def jaccard(a: Column, b: Column) -> Column:
 
 # universal-hash family for the K minhash permutations: fixed splitmix
 # coefficients (odd multipliers), deterministic across runs/executors
-_MH_K = 64
+# and closed-form in k — any K generates the same prefix
 _MH_MASK = (1 << 64) - 1
-_MH_A = np.array(
-    [((k * 0x9E3779B97F4A7C15 + 0x517CC1B727220A95) | 1) & _MH_MASK
-     for k in range(_MH_K)],
-    dtype=np.uint64,
-)
-_MH_B = np.array(
-    [(k * 0xBF58476D1CE4E5B9 + 0x2545F4914F6CDD1D) & _MH_MASK
-     for k in range(_MH_K)],
-    dtype=np.uint64,
-)
 
 
-@pandas_udf(ArrayType(LongType()))
-def _minhash_udf(hashes: pd.Series) -> pd.Series:
+def _mh_coeffs(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    a = np.array(
+        [((k * 0x9E3779B97F4A7C15 + 0x517CC1B727220A95) | 1) & _MH_MASK
+         for k in range(num_hashes)],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [(k * 0xBF58476D1CE4E5B9 + 0x2545F4914F6CDD1D) & _MH_MASK
+         for k in range(num_hashes)],
+        dtype=np.uint64,
+    )
+    return a, b
+
+
+def _make_minhash_udf(num_hashes: int):
     """K min-hashes from per-shingle base hashes, vectorized over the
     Arrow batch: the ragged per-doc hash lists flatten once, each of the
     K universal-hash permutations is one multiply-add-shift pass, and
     np.minimum.reduceat takes the per-doc minima (the same
     flatten/reduceat layout as _simhash_udf)."""
-    import numpy as np
+    mh_a, mh_b = _mh_coeffs(num_hashes)
 
-    n = len(hashes)
-    lens = np.fromiter(
-        (len(h) if h is not None else 0 for h in hashes), dtype=np.int64, count=n
-    )
-    nz = np.nonzero(lens)[0]
-    out = np.zeros((n, _MH_K), dtype=np.int64)
-    if len(nz):
-        vals = hashes.to_numpy()
-        flat = np.concatenate(
-            [np.asarray(vals[i], dtype=np.int64) for i in nz]
-        ).astype(np.uint64)
-        starts = np.zeros(len(nz), dtype=np.int64)
-        starts[1:] = np.cumsum(lens[nz])[:-1]
-        mins = np.empty((len(nz), _MH_K), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for k in range(_MH_K):
-                # >> 3 keeps values in int64-positive range for the column
-                hk = (flat * _MH_A[k] + _MH_B[k]) >> np.uint64(3)
-                mins[:, k] = np.minimum.reduceat(hk, starts)
-        out[nz] = mins.astype(np.int64)
-    return pd.Series(list(out))
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash_udf(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(hashes)
+        lens = np.fromiter(
+            (len(h) if h is not None else 0 for h in hashes), dtype=np.int64, count=n
+        )
+        nz = np.nonzero(lens)[0]
+        out = np.zeros((n, num_hashes), dtype=np.int64)
+        if len(nz):
+            vals = hashes.to_numpy()
+            flat = np.concatenate(
+                [np.asarray(vals[i], dtype=np.int64) for i in nz]
+            ).astype(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            mins = np.empty((len(nz), num_hashes), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(num_hashes):
+                    # >> 3 keeps values int64-positive for the column
+                    hk = (flat * mh_a[k] + mh_b[k]) >> np.uint64(3)
+                    mins[:, k] = np.minimum.reduceat(hk, starts)
+            out[nz] = mins.astype(np.int64)
+        return pd.Series(list(out))
+
+    return _minhash_udf
+
+
+_MINHASH_UDFS: dict[int, object] = {}
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """K independent min-hashes per document. The base shingle hash is
-    ONE JVM xxhash64 pass; the K permutations apply as a universal-hash
-    family in one vectorized numpy pass per Arrow batch. (The previous
-    form — K separate ``array_min(transform(...))`` expressions — cost
-    ~4x more at K=64: interpreted HOF array walks plus the codegen of a
-    64-branch expression tree; measured 2.2s vs 0.5s warm on 5k docs.)"""
-    if num_hashes != _MH_K:
-        raise ValueError(f"minhash_signature is compiled for K={_MH_K}")
-    return _minhash_udf(F.transform(shingles, lambda s: F.xxhash64(s)))
+    """K independent min-hashes per document, for ANY K (coefficients
+    are closed-form splitmix values generated on demand; UDFs cached per
+    K). The base shingle hash is ONE JVM xxhash64 pass; the K
+    permutations apply as a universal-hash family in one vectorized
+    numpy pass per Arrow batch. (The previous form — K separate
+    ``array_min(transform(...))`` expressions — cost ~4x more at K=64:
+    interpreted HOF array walks plus the codegen of a 64-branch
+    expression tree; measured 2.2s vs 0.5s warm on 5k docs.)"""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if num_hashes not in _MINHASH_UDFS:
+        _MINHASH_UDFS[num_hashes] = _make_minhash_udf(num_hashes)
+    return _MINHASH_UDFS[num_hashes](F.transform(shingles, lambda s: F.xxhash64(s)))
 
 
 def minhash_lsh_pairs(

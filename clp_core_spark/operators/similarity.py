@@ -97,16 +97,21 @@ def hyperplane_signature(vec_col: Column, dim: int, num_planes: int = 16) -> Col
 
     @pandas_udf(LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        arrs = [
-            np.asarray(v, dtype=np.float64) if v is not None
-            else np.zeros(dim, dtype=np.float64)
-            for v in vecs
-        ]
-        m = np.vstack(arrs) if arrs else np.zeros((0, dim), dtype=np.float64)
-        signs = (m @ planes) >= 0
-        return pd.Series(
-            (signs.astype(np.uint64) * bits).sum(axis=1).astype(np.int64)
-        )
+        # NULL vectors stay NULL (a zero substitute would give every
+        # null row the deterministic all-ones signature and silently
+        # land them all in one shared LSH bucket — spurious candidates);
+        # null signatures fall out of the downstream equality joins.
+        out = np.empty(len(vecs), dtype=object)
+        idx = [i for i, v in enumerate(vecs) if v is not None]
+        if idx:
+            m = np.vstack(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in idx]
+            )
+            signs = (m @ planes) >= 0
+            sigs = (signs.astype(np.uint64) * bits).sum(axis=1).astype(np.int64)
+            for j, i in enumerate(idx):
+                out[i] = int(sigs[j])
+        return pd.Series(out)
 
     return _sig(vec_col)
 
@@ -133,13 +138,19 @@ def ivf_assign(vec_col: Column, dim: int, nlist: int) -> Column:
 
     @pandas_udf(LongType())
     def _assign(vecs: pd.Series) -> pd.Series:
-        arrs = [
-            np.asarray(v, dtype=np.float64) if v is not None
-            else np.zeros(dim, dtype=np.float64)
-            for v in vecs
-        ]
-        m = np.vstack(arrs) if arrs else np.zeros((0, dim), dtype=np.float64)
-        return pd.Series((m @ cents).argmax(axis=1) + 1)
+        # NULL vectors get a NULL cell (zero substitution always argmaxed
+        # to cell 1, silently mixing null rows into real probes); null
+        # cells fail the probe isin() and never reach scoring.
+        out = np.empty(len(vecs), dtype=object)
+        idx = [i for i, v in enumerate(vecs) if v is not None]
+        if idx:
+            m = np.vstack(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in idx]
+            )
+            cells = (m @ cents).argmax(axis=1) + 1
+            for j, i in enumerate(idx):
+                out[i] = int(cells[j])
+        return pd.Series(out)
 
     return _assign(vec_col)
 

@@ -80,14 +80,21 @@ def sessionize_stream(
     extent: it closes when the NEXT turn is more than ``gap_ms`` away).
 
     State per conversation = the open session (start_ms, last_ms,
-    n_turns), carried across micro-batches. Each batch merges its
-    (sorted) turns into the open session, emitting every session a gap
-    closes; an event-time timeout at ``last_ms + gap_ms`` (clamped above
+    n_turns), carried across micro-batches. Each batch builds
+    gaps-and-islands over its own (sorted) turns, interval-merges the
+    open session in, emits every closed interval and keeps the last one
+    open; an event-time timeout at ``last_ms + gap_ms`` (clamped above
     the watermark) flushes the final open session once the watermark
     passes it, so sessions complete without waiting for more data on
-    their key. Late rows inside the watermark extend the open session;
-    rows later than that are dropped by the watermark (same lateness
-    contract as count_by_time_stream).
+    their key. Late rows inside the watermark merge correctly wherever
+    they fall: a row within ``gap_ms`` BEFORE the open session's start
+    pulls ``session_start_ms`` back (min), and rows more than ``gap_ms``
+    earlier form their own (immediately emitted) earlier session —
+    matching the batch gaps-and-islands oracle over the rows seen so
+    far. The one approximation vs batch: an already-emitted earlier
+    session cannot absorb still-later arrivals; rows beyond the
+    watermark are dropped (same lateness contract as
+    count_by_time_stream).
 
     Output (append mode): one row per CLOSED session —
     (conv_id, session_start_ms, session_end_ms, n_turns)."""
@@ -112,16 +119,33 @@ def sessionize_stream(
                 if parts
                 else []
             )
-            cur = tuple(state.get) if state.exists else None
+            # gaps-and-islands over this batch's sorted rows, then
+            # interval-merge the carried open session in — so a late row
+            # can extend the open session BACKWARD (min start) and rows
+            # more than gap_ms earlier become their own island instead
+            # of being absorbed forward
+            islands: list[tuple[int, int, int]] = []
             for t in ts_sorted:
                 t = int(t)
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] > gap_ms:
-                    sessions.append((key[0], cur[0], cur[1], cur[2]))
-                    cur = (t, t, 1)
+                if islands and t - islands[-1][1] <= gap_ms:
+                    s, last, n = islands[-1]
+                    islands[-1] = (s, max(last, t), n + 1)
                 else:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                    islands.append((t, t, 1))
+            if state.exists:
+                islands.append(tuple(state.get))
+                islands.sort(key=lambda iv: iv[0])
+                merged = [islands[0]]
+                for s, last, n in islands[1:]:
+                    ps, plast, pn = merged[-1]
+                    if s - plast <= gap_ms:
+                        merged[-1] = (ps, max(plast, last), pn + n)
+                    else:
+                        merged.append((s, last, n))
+                islands = merged
+            cur = islands[-1] if islands else None
+            for s, last, n in islands[:-1]:
+                sessions.append((key[0], s, last, n))
             if cur is not None:
                 state.update(cur)
                 # the flush alarm: must sit strictly above the current

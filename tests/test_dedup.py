@@ -68,3 +68,21 @@ def test_shingles_empty_and_short(spark):
     df = spark.createDataFrame([(0, ""), (1, "two words")], "doc_id long, text string")
     out = df.select(F.size(dedup.word_shingles(F.col("text"), 3)).alias("n")).collect()
     assert [r["n"] for r in out] == [0, 0]
+
+
+def test_minhash_arbitrary_k(docs):
+    """num_hashes is a real tunable again: coefficients generate on
+    demand for any K (closed-form splitmix), and K=128 produces the
+    same verified pair set as the default 64 on this corpus."""
+    rows = dedup.minhash_lsh_pairs(
+        docs, num_hashes=128, bands=32, threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1), (0, 2), (1, 2)}
+    # K=64's signature is a prefix of K=128's (same k-indexed family)
+    sig64 = docs.select(
+        dedup.minhash_signature(dedup.word_shingles(F.col("text"), 3), 64
+                                ).alias("s")).first()["s"]
+    sig128 = docs.select(
+        dedup.minhash_signature(dedup.word_shingles(F.col("text"), 3), 128
+                                ).alias("s")).first()["s"]
+    assert sig128[:64] == sig64

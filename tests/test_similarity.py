@@ -2,6 +2,7 @@
 recall of the exact top match."""
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from clp_core_spark.operators import similarity
@@ -110,3 +111,28 @@ def test_ivf_scores_match_bruteforce(embeddings):
     assert out
     for r in out:
         assert abs(brute[r["vec_id"]] - r["cosine_sim"]) < 1e-9
+
+
+def test_null_embeddings_stay_null_and_pair_free(spark):
+    """NULL embedding vectors must yield NULL signatures / NULL IVF
+    cells (not the deterministic zero-vector artifacts that dropped
+    every null row into one shared bucket) and never surface in
+    near-pair output."""
+    rows = [(i, _vec(i)) for i in range(20)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+    sigs = {r["vec_id"]: r["s"] for r in df.select(
+        "vec_id",
+        similarity.hyperplane_signature(F.col("embedding"), DIM, 16).alias("s"),
+    ).collect()}
+    assert sigs[100] is None and sigs[101] is None
+    assert sigs[0] is not None
+    cells = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id",
+        similarity.ivf_assign(F.col("embedding"), DIM, 8).alias("c"),
+    ).collect()}
+    assert cells[100] is None and cells[101] is None
+    out = similarity.cosine_near_pairs(
+        df, threshold=0.3, num_planes=16, max_hamming=4, dim=DIM
+    ).collect()
+    ids = {x for r in out for x in (r["id_a"], r["id_b"])}
+    assert 100 not in ids and 101 not in ids

@@ -143,3 +143,79 @@ def test_sessionize_stream_matches_batch_islands(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+def test_sessionize_stream_late_rows_within_watermark(spark, tmp_path):
+    """Out-of-order-within-watermark rows must merge where they FALL,
+    not forward into the open session: a row within gap_ms BEFORE the
+    open session's start pulls session_start_ms back (min), and rows
+    more than gap_ms earlier form their own earlier session — the batch
+    gaps-and-islands oracle disagreed with the r4 forward-merge on both
+    cases."""
+    from pyspark.sql import Window
+
+    inp = str(tmp_path / "late_input")
+    gap_ms = 60_000
+    base = 1_700_000_000_000
+    # file1 opens a session at +600s; file2 delivers LATE rows: two at
+    # +0/+10s (>gap earlier: their own session) and one at +570s
+    # (within gap before the open start: start must min to +570s)
+    rows_f1 = [("C", 0, base + 600_000), ("C", 1, base + 610_000)]
+    rows_f2 = [("C", 2, base + 0), ("C", 3, base + 10_000),
+               ("C", 4, base + 570_000)]
+    rows_f3 = [("__flush__", 0, base + 100_000_000)]
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, _ms long"
+        ).select(
+            "conv_id", "turn_idx",
+            F.lit("user").alias("role"), F.lit("x").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_millis(F.col("_ms")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    for rows in (rows_f1, rows_f2, rows_f3):
+        _write(rows)
+
+    stream = sp.read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    # 1h watermark keeps the file2 rows inside the lateness contract
+    sess = sp.sessionize_stream(stream, gap_ms=gap_ms, watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["session_start_ms"], r["session_end_ms"], r["n_turns"])
+        for r in spark.sql(
+            "SELECT * FROM late_sessions WHERE conv_id != '__flush__'"
+        ).collect()
+    }
+    # batch gaps-and-islands oracle over the same rows
+    all_rows = [(c, i, t) for rows in (rows_f1, rows_f2) for c, i, t in rows]
+    df = spark.createDataFrame(all_rows, "conv_id string, turn_idx int, ms long")
+    w = Window.partitionBy("conv_id").orderBy("ms")
+    boundary = (
+        F.when(F.lag("ms").over(w).isNull(), 1)
+        .when(F.col("ms") - F.lag("ms").over(w) > gap_ms, 1)
+        .otherwise(0)
+    )
+    islands = df.withColumn("_b", boundary).withColumn(
+        "_sess", F.sum("_b").over(w)
+    )
+    want = {
+        (r["conv_id"], r["session_start_ms"], r["session_end_ms"], r["n_turns"])
+        for r in islands.groupBy("conv_id", "_sess")
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.max("ms").alias("session_end_ms"),
+            F.count("*").alias("n_turns"),
+        )
+        .collect()
+    }
+    assert want == {("C", base, base + 10_000, 2),
+                    ("C", base + 570_000, base + 610_000, 3)}
+    assert got == want
