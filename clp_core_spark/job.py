@@ -113,6 +113,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--search", default=None, metavar="WILDCARD",
                    help="after ingest, run a dictionary search over the"
                         " archive and print the match count (clp s)")
+    p.add_argument("--ignore-case", action="store_true",
+                   help="case-insensitive --search / --kql dictionary"
+                        " comparisons (clp/clo --ignore-case)")
+    p.add_argument("--tags", nargs="*", default=None, metavar="TAG",
+                   help="stamp these tags on every epoch this run"
+                        " commits (clp compress --tags)")
+    p.add_argument("--search-tags", nargs="*", default=None, metavar="TAG",
+                   help="restrict --search to epochs carrying ANY of"
+                        " these tags (scheduler tag pruning)")
     p.add_argument("--decompress-to", default=None, metavar="DIR",
                    help="after ingest, reconstruct the original text into"
                         " DIR in stable order (clp x)")
@@ -129,9 +138,14 @@ def _run_json_job(spark, args) -> int:
 
     df = spark.read.parquet(args.json_input)
     key = args.key_col or df.columns[0]
+    # this process owns every corpus-sized cache the parse/encode takes:
+    # a long-lived driver running many searches must not accumulate one
+    # persisted relation per invocation
+    owned: list = []
     enc, tree, smap = semistructured.encode_semistructured(
         df, args.json_col, key_cols=[key],
         clp_string_cols=args.clp_string_cols,
+        owned_persists=owned,
     )
     if args.clp_string_cols is not None:
         clp_cols = list(args.clp_string_cols)
@@ -142,45 +156,51 @@ def _run_json_job(spark, args) -> int:
             if r["node_type"] == semistructured.T_CLPSTRING
         ]
     enc2, dicts = clps_search.encode_clpstring_columns(
-        enc, clp_cols, key_cols=[key]
+        enc, clp_cols, key_cols=[key], owned_persists=owned,
     )
-    out = {
-        "records": enc2.count(),
-        "schemas": smap.count(),
-        "clp_string_cols": clp_cols,
-    }
-    if args.kql:
-        from clp_core_spark.operators.kql import unstructured_array_cols
+    try:
+        out = {
+            "records": enc2.count(),
+            "schemas": smap.count(),
+            "clp_string_cols": clp_cols,
+        }
+        if args.kql:
+            from clp_core_spark.operators.kql import unstructured_array_cols
 
-        hits = clps_search.kql_filter_clps(
-            enc2, args.kql, dicts, [key],
-            array_cols=unstructured_array_cols(tree),
-        )
-        if args.hits_out:
-            out_df = hits
-            if args.project is not None:
-                # clp_s --projection (clp_s/search/Projection.cpp):
-                # results carry only the named leaves; encoded string
-                # leaves among them decode to their original values
-                wanted = [
-                    p.strip().replace(".", "__")
-                    for p in args.project.split(",")
-                    if p.strip()
-                ]
-                for c in wanted:
-                    if c in clp_cols:
+            hits = clps_search.kql_filter_clps(
+                enc2, args.kql, dicts, [key],
+                array_cols=unstructured_array_cols(tree),
+                ignore_case=args.ignore_case,
+            )
+            if args.hits_out:
+                out_df = hits
+                if args.project is not None:
+                    # clp_s --projection (clp_s/search/Projection.cpp):
+                    # results carry only the named leaves; encoded string
+                    # leaves among them decode to their original values
+                    wanted = [
+                        p.strip().replace(".", "__")
+                        for p in args.project.split(",")
+                        if p.strip()
+                    ]
+                    for c in wanted:
+                        if c in clp_cols:
+                            out_df = clps_search.decode_clpstring_column(
+                                out_df, c, dicts, [key]
+                            )
+                    out_df = out_df.select(key, *wanted)
+                elif args.decode_strings:
+                    for c in clp_cols:
                         out_df = clps_search.decode_clpstring_column(
                             out_df, c, dicts, [key]
                         )
-                out_df = out_df.select(key, *wanted)
-            elif args.decode_strings:
-                for c in clp_cols:
-                    out_df = clps_search.decode_clpstring_column(
-                        out_df, c, dicts, [key]
-                    )
-            out_df.write.mode("overwrite").parquet(args.hits_out)
-        out["kql"] = args.kql
-        out["matches"] = hits.count()
+                out_df.write.mode("overwrite").parquet(args.hits_out)
+            out["kql"] = args.kql
+            out["matches"] = hits.count()
+    finally:
+        # results are materialized (counts/parquet) — release the caches
+        for p in owned:
+            p.unpersist()
     print(json.dumps(out))
     return 0
 
@@ -218,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             table_mode=args.table_mode,
             dict_scope=args.dict_scope,
             max_concurrent=args.max_concurrent,
+            tags=args.tags,
         )
         pipe.run(input_df, partitions=args.partitions)
         blob = pipe.emit_metrics(args.metrics_out)
@@ -225,7 +246,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.search is not None:
             print(json.dumps({
                 "query": args.search,
-                "matches": pipe.search(args.search).count(),
+                "matches": pipe.search(
+                    args.search,
+                    ignore_case=args.ignore_case,
+                    tags=args.search_tags,
+                ).count(),
             }))
         if args.decompress_to is not None:
             pipe.decompress_to_text(args.decompress_to)

@@ -113,6 +113,7 @@ def encode_semistructured(
     structurize_arrays: bool = False,
     infer_sample_rows: int | None = 100_000,
     clp_string_cols: list[str] | None = None,
+    owned_persists: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Parse ``json_col`` into typed leaf columns + a dense ``schema_id``.
 
@@ -172,8 +173,13 @@ def encode_semistructured(
     # one JSON parse, many consumers: the stats agg, structurize probes,
     # dense-ID bucket counts, schema map, and the returned table all read
     # this relation — without the persist each would re-run from_json over
-    # the whole corpus (measured ~2x end-to-end on the clps bench query)
+    # the whole corpus (measured ~2x end-to-end on the clps bench query).
+    # Ownership contract (same as encode_clpstring_columns): pass
+    # ``owned_persists`` and the CALLER unpersists after materializing
+    # its results; without it the cache lives for the session.
     flat = parsed.select(*key_cols, *flat_cols).persist()
+    if owned_persists is not None:
+        owned_persists.append(flat)
 
     # Column-level ClpString/VarString decision + presence counts + (in
     # structurize mode) container detection, one pass.

@@ -58,6 +58,7 @@ class IngestPipeline:
         table_mode: str = "auto",
         dict_scope: str = "global",
         max_concurrent: int = 1,
+        tags: list[str] | None = None,
     ):
         """``var_id_mode='dense'`` + ``write_glt=True`` is the archival
         configuration: dense dictionary IDs and a logtype-clustered copy
@@ -104,10 +105,15 @@ class IngestPipeline:
         self.dict_budget = dict_budget
         self.dict_scope = dict_scope
         self.max_concurrent = max_concurrent
+        # user tags stamped on every epoch this pipeline commits — the
+        # analog of `clp ... --tags` archive tagging; search prunes by
+        # them BEFORE dispatch (scheduler/query/query_scheduler.py:381-386)
+        self.tags = list(tags) if tags else []
         import threading
 
         self._meta_lock = threading.Lock()  # serializes ledger/ts_index appends
         self.ledger_path = f"{work_root}/ledger"
+        self.tags_path = f"{work_root}/tags"
         self.ts_index_path = f"{work_root}/ts_index"
         self.dicts_path = f"{work_root}/dicts"
         self.sinks_root = f"{work_root}/sinks"
@@ -152,6 +158,35 @@ class IngestPipeline:
             self.spark.createDataFrame(
                 [row], LEDGER_SCHEMA
             ).write.mode("append").parquet(self.ledger_path)
+            if self.tags:
+                # one row per (epoch, tag) — CLP stamps tags into the
+                # archive metadata at compression time (`--tags`,
+                # clp_package tags table); the commit is ledger-atomic
+                # enough for pruning: orphan tag rows for uncommitted
+                # epochs are ignored because search intersects with
+                # epochs_for_range (ledger-committed only)
+                ep = row["partition_id"] + row["sub_epoch"] * self.num_partitions
+                self.spark.createDataFrame(
+                    [(ep, t) for t in self.tags], "epoch_part int, tag string"
+                ).write.mode("append").parquet(self.tags_path)
+
+    def tagged_epochs(self, tags: list[str]) -> set[int]:
+        """Epoch ids carrying ANY of ``tags`` — the schedule-time tag
+        filter (scheduler/query/query_scheduler.py:381-386 joins the
+        requested tag ids against archive_tags before dispatch). A work
+        dir with no tags file matches nothing, like an untagged archive
+        set queried with --tags."""
+        try:
+            rows = (
+                self.spark.read.parquet(self.tags_path)
+                .filter(F.col("tag").isin(list(tags)))
+                .select("epoch_part")
+                .distinct()
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — no tags ever written
+            return set()
+        return {r["epoch_part"] for r in rows}
 
     # -- dictionaries ------------------------------------------------------
 
@@ -493,15 +528,22 @@ class IngestPipeline:
         ts_end_ms: int | None = None,
         kind: str = "role",
         ignore_case: bool = False,
+        tags: list[str] | None = None,
         **kw,
     ) -> DataFrame:
         """Dictionary search over the routed sinks with ledger-driven
         epoch pruning: the query's time range first selects epoch
         directories via the ledger, then the encoded-domain search (with
-        the same ts predicate for row-level filtering) runs only there."""
+        the same ts predicate for row-level filtering) runs only there.
+        ``tags`` further prunes to epochs stamped with ANY of the given
+        tags at ingest time (the reference scheduler's tag filter,
+        query_scheduler.py:381-386)."""
         from clp_core_spark.operators import search as search_op
 
         epochs = self.epochs_for_range(ts_begin_ms, ts_end_ms)
+        if tags:
+            tagged = self.tagged_epochs(tags)
+            epochs = [e for e in epochs if e in tagged]
         if self.dict_scope == "epoch":
             # one search task per archive, each against ITS dictionaries
             # (CLP's query scheduler fans a query out per archive); the

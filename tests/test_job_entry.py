@@ -205,3 +205,90 @@ def test_job_cli_projection_decodes_strings(tmp_path, spark):
     assert back.columns == ["rid", "msg", "n"]
     got = sorted((r["rid"], r["msg"], r["n"]) for r in back.collect())
     assert got == [(i, f"call id {i} ok", i) for i in range(36, 40)]
+
+
+def test_job_cli_ignore_case(tmp_path, spark):
+    """--ignore-case flows from the CLI through kql_filter_clps: mixed-
+    case messages match a lowercase query only when the flag is set
+    (clp/clo forward --ignore-case end-to-end, fs_search_task.py:92-161)."""
+    src = str(tmp_path / "ic_src")
+    rows = [(i, '{"msg": "Req Num %d Done"}' % i) for i in range(30)]
+    spark.createDataFrame(rows, "rid long, js string").write.parquet(src)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    base = [
+        sys.executable, "-m", "clp_core_spark.job",
+        "--json-input", src, "--key-col", "rid",
+        "--clp-string-cols", "msg",
+        "--kql", 'msg: "req num 1*"',
+        "--master", "local[4]", "--shuffle-partitions", "8",
+    ]
+    sensitive = subprocess.run(
+        base, capture_output=True, text=True, env=env, timeout=600
+    )
+    assert sensitive.returncode == 0, sensitive.stderr[-3000:]
+    assert json.loads(sensitive.stdout.strip().splitlines()[-1])["matches"] == 0
+    relaxed = subprocess.run(
+        base + ["--ignore-case"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert relaxed.returncode == 0, relaxed.stderr[-3000:]
+    expect = sum(1 for i in range(30)
+                 if f"req num {i} done".startswith("req num 1"))
+    assert json.loads(relaxed.stdout.strip().splitlines()[-1])["matches"] == expect
+
+
+def test_job_cli_tags_prune_search(tmp_path, spark):
+    """--tags stamps every committed epoch; --search-tags prunes to
+    tagged epochs before dispatch (the reference scheduler's tag filter,
+    query_scheduler.py:381-386). A non-matching tag finds nothing."""
+    work = str(tmp_path / "work")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "clp_core_spark.job",
+            "--generate", "2000", "--work-root", work,
+            "--num-partitions", "2", "--master", "local[4]",
+            "--shuffle-partitions", "8",
+            "--tags", "prod", "us-east",
+            "--search", "*", "--search-tags", "prod",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()
+             if x.startswith("{")]
+    search_out = [x for x in lines if "query" in x][-1]
+    rows_total = [x for x in lines if "rows" in x][-1]["rows"]
+    assert search_out["matches"] == rows_total  # '*' matches every turn
+    assert os.path.isdir(f"{work}/tags")
+
+    # in-process: a tag never stamped matches nothing; a stamped one all
+    from clp_core_spark.plans.pipeline import IngestPipeline
+
+    pipe = IngestPipeline(spark, work, num_partitions=2)
+    assert pipe.search("*", tags=["staging"]).count() == 0
+    assert pipe.search("*", tags=["us-east"]).count() == rows_total
+
+
+def test_json_search_releases_caches(tmp_path, spark):
+    """The CLI search path owns its corpus-sized persists and releases
+    them after materializing results: repeated searches in one driver
+    process must not grow the persisted-RDD set."""
+    import clp_core_spark.job as job
+
+    src = str(tmp_path / "cache_src")
+    rows = [(i, '{"msg": "req num %d done"}' % i) for i in range(50)]
+    spark.createDataFrame(rows, "rid long, js string").write.parquet(src)
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    args = job.build_arg_parser().parse_args([
+        "--json-input", src, "--key-col", "rid",
+        "--clp-string-cols", "msg", "--kql", 'msg: "*num 4*"',
+    ])
+    job._run_json_job(spark, args)
+    baseline = n_persisted()
+    for _ in range(2):
+        job._run_json_job(spark, args)
+    assert n_persisted() <= baseline
