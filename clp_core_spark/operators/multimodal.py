@@ -2,12 +2,13 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic outputs) is real and tested. Codec coverage: UNCOMPRESSED
-formats decode for real in pure numpy — BI_RGB 24/32-bit BMP
-(:func:`decode_bmp`) and PCM/float WAV (:func:`decode_wav`) — so the
-``fake=False`` path is exercised end-to-end on real bytes. Compressed
-codecs (PNG/JPEG/MP3/video) need external libraries this environment
-lacks; for those the decode kernels raise NotImplementedError unless
+deterministic outputs) is real and tested. Codec coverage: formats
+whose compression is stdlib-reachable decode for real — BI_RGB 24/32-bit
+BMP (:func:`decode_bmp`), PCM/float WAV (:func:`decode_wav`), and
+non-interlaced 8-bit PNG via zlib inflate + numpy unfiltering
+(:func:`decode_png`) — so the ``fake=False`` path is exercised
+end-to-end on real bytes. Codecs that need external libraries this
+environment lacks (JPEG/MP3/video) raise NotImplementedError unless
 ``fake=True``, which substitutes a deterministic content-hash-seeded
 decoder so downstream feature/resize/frame-sample operators stay
 testable.
@@ -74,15 +75,97 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, order])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy decoder for non-interlaced 8-bit PNG
+    (color types 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA): chunk walk,
+    IDAT concatenation + zlib inflate, then per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth). Sub rows vectorize as per-lane
+    cumulative sums; Average/Paeth rows fall back to a per-byte loop
+    (their recurrence is inherently sequential). Returns (h, w, ch)
+    uint8."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or nch is None or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit gray/RGB/GA/RGBA PNG decodes here"
+        )
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rowlen = width * nch
+    if len(raw) < height * (rowlen + 1):
+        raise ValueError("PNG pixel data truncated")
+    raw = raw[: height * (rowlen + 1)].reshape(height, rowlen + 1)
+    out = np.zeros((height, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(height):
+        ft, row = int(raw[y, 0]), raw[y, 1:].copy()
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: each bpp-strided lane is a cumulative sum
+            rec = row
+            for o in range(nch):
+                lane = rec[o::nch].astype(np.uint32)
+                rec[o::nch] = np.cumsum(lane).astype(np.uint8)
+        elif ft == 2:  # Up
+            rec = (row.astype(np.uint16) + prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            rec = np.empty(rowlen, dtype=np.uint8)
+            for x in range(rowlen):
+                left = int(rec[x - nch]) if x >= nch else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(rowlen, dtype=np.uint8)
+            for x in range(rowlen):
+                a = int(rec[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(height, width, nch)
+
+
 def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False) -> np.ndarray:
     if fake:
         return _fake_pixels(payload, width, height, channels)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP decodes without a codec library (none in "
-        "this container); pass fake=True for the deterministic stub"
+        "only BMP and non-interlaced 8-bit PNG decode without a codec "
+        "library (none in this container); pass fake=True for the "
+        "deterministic stub"
     )
 
 

@@ -367,3 +367,110 @@ def test_stereo_wav_downmixes():
     assert rate == 8000
     expect = (left.astype(np.float32) + right) / 2.0 / 32768.0
     assert np.abs(got - expect).max() < 1e-6
+
+
+def _png_bytes(px: "np.ndarray", filters: list[int]) -> bytes:
+    """Hand-assemble a non-interlaced 8-bit PNG from an (h, w, ch) uint8
+    array, FILTERING each scanline with the given per-row filter type
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) — the layout
+    decode_png must invert (zlib inflate + unfilter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        rec = px[y].reshape(-1).astype(np.int32)
+        ft = filters[y % len(filters)]
+        filt = np.empty_like(rec)
+        for x in range(len(rec)):
+            a = int(rec[x - nch]) if x >= nch else 0
+            b = int(prev[x])
+            c = int(prev[x - nch]) if x >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(rec[x]) - pred) & 0xFF
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_for_real(spark):
+    """decode_png inverts every filter type on real bytes (stdlib zlib +
+    numpy unfiltering — no codec library), across RGB / RGBA / gray, and
+    drives image_stats fake_decode=False end-to-end."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for nch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(7, 5, nch), dtype=np.uint8)
+        raw = _png_bytes(px, filters=[0, 1, 2, 3, 4])
+        got = multimodal.decode_png(raw)
+        assert got.shape == (7, 5, nch)
+        assert (got == px).all(), f"nch={nch}"
+        # routed through the generic entry point too
+        assert (multimodal.decode_image(raw, 5, 7, nch) == px).all()
+
+    px = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    raw = _png_bytes(px, filters=[4, 3, 1])
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), 4, 6, 3)],
+        "id long, data binary, width int, height int, channels int",
+    )
+    [r] = multimodal.image_stats(df, fake_decode=False).collect()
+    flat = px.astype(np.float64)
+    for ch in range(3):
+        assert abs(r["mean"][ch] - flat[:, :, ch].mean()) < 1e-4
+        assert abs(r["std"][ch] - flat[:, :, ch].std()) < 1e-4
+
+
+def test_png_interlaced_and_16bit_rejected():
+    """Declared limits stay honest errors, not wrong pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    def hdr(bit_depth, color_type, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace)
+        body = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        idat = zlib.compress(b"\0" * 20)
+        return (
+            b"\x89PNG\r\n\x1a\n" + body
+            + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\0\0\0\0"
+        )
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_png(hdr(16, 2, 0))
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_png(hdr(8, 2, 1))
