@@ -690,14 +690,45 @@ def _q_clps_not_wildcard(spark, sf_dir):
     return hits.select("event_id")
 
 
-def _q_clps_schema_tree(spark, sf_dir):
-    _, tree, _ = _semistructured(spark, sf_dir)
-    return tree
+def _q_clps_schema_meta(spark, sf_dir):
+    """The clp_s archive metadata surface in ONE projection (the
+    text_analysis consolidation model): the MPT leaf tree (path, node
+    type, presence count — clp_s/SchemaTree) unioned with the schema
+    map (distinct present-leaf sets with record counts,
+    clp_s/SchemaMap.cpp:8-15), shaped as (kind, key, info, n)."""
+    _, tree, smap = _semistructured(spark, sf_dir)
+    leaves = tree.select(
+        F.lit("leaf").alias("kind"),
+        F.col("path").alias("key"),
+        F.col("node_type").alias("info"),
+        F.col("n_present").cast("long").alias("n"),
+    )
+    schemas = smap.select(
+        F.lit("schema").alias("kind"),
+        F.col("schema_key").alias("key"),
+        F.lit("").alias("info"),
+        F.col("n_records").cast("long").alias("n"),
+    )
+    return leaves.unionByName(schemas)
 
 
-def _q_clps_schema_counts(spark, sf_dir):
-    _, _, smap = _semistructured(spark, sf_dir)
-    return smap.select("schema_key", "n_records")
+def _q_clps_pure_or(spark, sf_dir):
+    """A wide pure-predicate OR chain over the encoded clp_s-lite table:
+    no dictionary leaf anywhere, so the round-5 single-pass execution
+    compiles the whole tree to ONE disjunctive filter over ONE corpus
+    scan — no join, no union, no dedup shuffle (the r4 OR-of-ANDs path
+    ran one scan per OR arm plus a corpus-sized dedup; plan-asserted in
+    tests/test_clps_search.py::test_wide_or_is_single_scan)."""
+    from clp_core_spark.operators import clps_search
+
+    enc2, dicts = _clps_encoded2(spark, sf_dir)
+    hits = clps_search.kql_filter_clps(
+        enc2,
+        "user: 3 OR user: 7 OR type: error OR extra: true",
+        dicts,
+        ["event_id"],
+    )
+    return hits.select("event_id")
 
 
 def _q_clps_typed_search(spark, sf_dir):
@@ -1028,8 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        "clps_schema_tree": _q_clps_schema_tree,
-        "clps_schema_counts": _q_clps_schema_counts,
+        "clps_schema_meta": _q_clps_schema_meta,
+        "clps_pure_or_search": _q_clps_pure_or,
         "clps_typed_search": _q_clps_typed_search,
         "clps_schema_pruned_search": _q_clps_schema_pruned_search,
         "clps_clpstring_search": _q_clps_clpstring_search,
@@ -1197,22 +1228,29 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
             " AS cosine_sim FROM embeddings"
             " ORDER BY cosine_sim DESC, vec_id LIMIT 10"
         ),
-        # clp_s-lite: leaf paths sorted alphabetically (Spark JSON schema
-        # inference order); 'extra' present iff event_id % 5 = 0.
-        "clps_schema_tree": (
-            "SELECT 'extra' AS path, 'Boolean' AS node_type,"
-            " (SELECT count(*) FROM events WHERE event_id % 5 = 0) AS n_present"
-            " UNION ALL SELECT 'msg', 'ClpString',"
+        # clp_s-lite archive metadata: the MPT leaf tree (paths sorted
+        # alphabetically — Spark JSON schema inference order; 'extra'
+        # present iff event_id % 5 = 0) unioned with the schema map.
+        "clps_schema_meta": (
+            "SELECT 'leaf' AS kind, 'extra' AS key, 'Boolean' AS info,"
+            " (SELECT count(*) FROM events WHERE event_id % 5 = 0) AS n"
+            " UNION ALL SELECT 'leaf', 'msg', 'ClpString',"
             " (SELECT count(*) FROM events)"
-            " UNION ALL SELECT 'type', 'VarString',"
+            " UNION ALL SELECT 'leaf', 'type', 'VarString',"
             " (SELECT count(*) FROM events)"
-            " UNION ALL SELECT 'user', 'Integer',"
+            " UNION ALL SELECT 'leaf', 'user', 'Integer',"
             " (SELECT count(*) FROM events)"
+            " UNION ALL SELECT 'schema',"
+            " CASE WHEN event_id % 5 = 0 THEN 'extra,msg,type,user'"
+            " ELSE 'msg,type,user' END, '', count(*)"
+            " FROM events GROUP BY 2"
         ),
-        "clps_schema_counts": (
-            "SELECT CASE WHEN event_id % 5 = 0 THEN 'extra,msg,type,user'"
-            " ELSE 'msg,type,user' END AS schema_key,"
-            " count(*) AS n_records FROM events GROUP BY 1"
+        # pure-OR tree: single-scan disjunctive filter on the engine
+        # side; the oracle states the same disjunction over the raw table
+        "clps_pure_or_search": (
+            "SELECT event_id FROM events"
+            " WHERE user_id = 3 OR user_id = 7 OR event_type = 'error'"
+            " OR event_id % 5 = 0"
         ),
         "clps_typed_search": (
             "SELECT event_id FROM events"
