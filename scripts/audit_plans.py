@@ -86,6 +86,14 @@ VERDICTS = {
     ),
     "text_analysis": "clean — five functions, one projection, one codegen pass",
     "clp_dict_stats": "clean — two scalar aggs cross-joined, broadcast",
+    "clps_pure_or_search": (
+        "clean — pure-predicate OR compiles to ONE disjunctive filter "
+        "over one cached-corpus read: no join, no union, no dedup"
+    ),
+    "clps_schema_meta": (
+        "clean — tree + schema-map projections union over the cached "
+        "parse; both sides read metadata-scale relations"
+    ),
 }
 
 
@@ -164,6 +172,9 @@ def main() -> None:
         "stream_count_by_time",
         "text_analysis",
         "clp_dict_stats",
+        # round-5 single-pass boolean execution + consolidated metadata
+        "clps_pure_or_search",
+        "clps_schema_meta",
     ]
     out = ["# PLANS — physical-plan audit of headline queries",
            "",
