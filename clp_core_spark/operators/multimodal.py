@@ -4,11 +4,13 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
 deterministic outputs) is real and tested. Codec coverage: formats
 whose compression is stdlib-reachable decode for real — BI_RGB 24/32-bit
-BMP (:func:`decode_bmp`), PCM/float WAV (:func:`decode_wav`), and
-non-interlaced 8-bit PNG via zlib inflate + numpy unfiltering
-(:func:`decode_png`) — so the ``fake=False`` path is exercised
-end-to-end on real bytes. Codecs that need external libraries this
-environment lacks (JPEG/MP3/video) raise NotImplementedError unless
+BMP (:func:`decode_bmp`), non-interlaced 8-bit PNG via zlib inflate +
+numpy unfiltering (:func:`decode_png`), PCM/float/G.711-mu-law/A-law
+WAV (:func:`decode_wav`), and uncompressed 24-bit RIFF/AVI video
+(:func:`decode_avi`, real frame extraction in frame_features) — so
+every modality's ``fake=False`` path is exercised end-to-end on real
+bytes. Codecs that need external libraries this environment lacks
+(JPEG/MP3/compressed video) raise NotImplementedError unless
 ``fake=True``, which substitutes a deterministic content-hash-seeded
 decoder so downstream feature/resize/frame-sample operators stay
 testable.
@@ -237,6 +239,63 @@ def image_resize_features(
     return df.mapInPandas(_kernel, schema=f"{id_col} long, feature array<float>")
 
 
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Pure-numpy decoder for uncompressed (BI_RGB 24-bit DIB) RIFF/AVI:
+    walks the RIFF/LIST chunk tree, reads frame timing from ``avih``,
+    the video stream format from the ``strf`` following a ``vids``
+    ``strh``, and every ``..db``/``..dc`` frame chunk from ``movi`` —
+    each frame is BMP-style pixel data (bottom-up, 4-byte row padding,
+    BGR). Returns ``(frames (n, h, w, 3) uint8 RGB, fps)``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    info = {"w": None, "h": None, "bits": None, "comp": None,
+            "uspf": None, "last_strh": b""}
+    frame_spans: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid in (b"RIFF", b"LIST"):
+                walk(body + 4, body + size)  # skip the 4cc list type
+            elif cid == b"avih":
+                info["uspf"] = int.from_bytes(payload[body : body + 4], "little")
+            elif cid == b"strh":
+                info["last_strh"] = payload[body : body + 4]
+            elif cid == b"strf" and info["last_strh"] == b"vids":
+                info["w"] = int.from_bytes(
+                    payload[body + 4 : body + 8], "little", signed=True
+                )
+                info["h"] = int.from_bytes(
+                    payload[body + 8 : body + 12], "little", signed=True
+                )
+                info["bits"] = int.from_bytes(payload[body + 14 : body + 16], "little")
+                info["comp"] = int.from_bytes(payload[body + 16 : body + 20], "little")
+            elif cid[2:4] in (b"db", b"dc"):
+                frame_spans.append((body, size))
+            pos = body + size + (size & 1)  # chunks are 2-byte aligned
+
+    walk(12, len(payload))
+    w, h, bits, comp = info["w"], info["h"], info["bits"], info["comp"]
+    if w is None or not frame_spans:
+        raise ValueError("AVI missing video stream format / frames")
+    if comp != 0 or bits != 24:
+        raise NotImplementedError("only uncompressed 24-bit BI_RGB AVI")
+    hh, bottom_up = abs(h), h > 0
+    stride = (w * 3 + 3) & ~3
+    frames = np.empty((len(frame_spans), hh, w, 3), dtype=np.uint8)
+    for i, (off, size) in enumerate(frame_spans):
+        px = np.frombuffer(payload, dtype=np.uint8, offset=off,
+                           count=stride * hh)
+        px = px.reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)
+        if bottom_up:
+            px = px[::-1]
+        frames[i] = px[:, :, ::-1]  # BGR -> RGB
+    fps = 1e6 / info["uspf"] if info["uspf"] else 25.0
+    return frames, fps
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,
@@ -269,9 +328,12 @@ def frame_features(
 ) -> DataFrame:
     """Video path end-to-end: the frame-sampling plan (sequence+explode,
     JVM) joined back to the payload, then one mapInPandas decode+resize
-    per sampled frame — each frame's 'decode' seeds the stub with
-    (payload, frame_ts) so frames differ deterministically. Output:
-    (id, frame_idx, frame_ts_ms, feature array<float>)."""
+    per sampled frame. With ``fake_decode=False`` and an uncompressed
+    RIFF/AVI payload the REAL frame at each sampled timestamp is
+    extracted (decode_avi runs once per video per Arrow batch, frames
+    index by ``ts * fps``); otherwise each frame's 'decode' seeds the
+    stub with (payload, frame_ts) so frames differ deterministically.
+    Output: (id, frame_idx, frame_ts_ms, feature array<float>)."""
     w_col, h_col, c_col = meta_cols
     plan = sample_frames(df, every_ms=every_ms, id_col=id_col)
     joined = plan.join(
@@ -282,23 +344,35 @@ def frame_features(
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fidx, fts, feats = [], [], [], []
+            avi_cache: dict[int, tuple[np.ndarray, float]] = {}
             for i, fi, ts, buf, w, h, c in zip(
                 pdf[id_col].to_numpy(), pdf["frame_idx"].to_numpy(),
                 pdf["frame_ts_ms"].to_numpy(), pdf[bytes_col].to_numpy(),
                 pdf[w_col].to_numpy(), pdf[h_col].to_numpy(),
                 pdf[c_col].to_numpy(),
             ):
-                # mix the frame timestamp into the stub's 8-byte seed
-                # window (multiplicative spread so nearby timestamps give
-                # unrelated frames); a real decoder would seek instead
-                raw = bytes(buf).ljust(8, b"\0")
-                mask = (1 << 64) - 1
-                mixed = (
-                    int.from_bytes(raw[:8], "little")
-                    ^ ((int(ts) + 1) * 0x9E3779B97F4A7C15 & mask)
-                )
-                seed = mixed.to_bytes(8, "little") + raw[8:]
-                px = decode_image(seed, int(w), int(h), int(c), fake=fake_decode)
+                raw = bytes(buf)
+                if not fake_decode:
+                    # real path: decode the container ONCE per video
+                    # (cached across this batch's sampled-frame rows),
+                    # then index the frame nearest the sampled ts
+                    if int(i) not in avi_cache:
+                        avi_cache[int(i)] = decode_avi(raw)
+                    frames, fps = avi_cache[int(i)]
+                    k = min(int(int(ts) * fps / 1000.0), len(frames) - 1)
+                    px = frames[k]
+                else:
+                    # stub: mix the frame timestamp into the 8-byte seed
+                    # window (multiplicative spread so nearby timestamps
+                    # give unrelated frames)
+                    seed8 = raw.ljust(8, b"\0")
+                    mask = (1 << 64) - 1
+                    mixed = (
+                        int.from_bytes(seed8[:8], "little")
+                        ^ ((int(ts) + 1) * 0x9E3779B97F4A7C15 & mask)
+                    )
+                    seed = mixed.to_bytes(8, "little") + seed8[8:]
+                    px = decode_image(seed, int(w), int(h), int(c), fake=True)
                 ys = (np.arange(th) * px.shape[0] // th).astype(int)
                 xs = (np.arange(tw) * px.shape[1] // tw).astype(int)
                 small = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
@@ -348,6 +422,27 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         wave = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif audio_format == 3 and bits == 32:
         wave = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7): closed-form companding inverse,
+        # one vectorized table-free pass (ITU-T G.711 tables are exactly
+        # this piecewise formula evaluated at the 256 code points)
+        codes = np.frombuffer(data, dtype=np.uint8)
+        if audio_format == 7:  # mu-law
+            u = (~codes).astype(np.int64) & 0xFF
+            sign = np.where(u & 0x80, -1.0, 1.0)
+            exp = (u >> 4) & 0x07
+            mant = (u & 0x0F).astype(np.int64)
+            mag = ((mant << 3) + 0x84).astype(np.int64) << exp
+            pcm = sign * (mag - 0x84)
+        else:  # A-law (0x80 set means POSITIVE after the 0x55 toggle)
+            a = (codes ^ 0x55).astype(np.int64)
+            sign = np.where(a & 0x80, 1.0, -1.0)
+            exp = (a >> 4) & 0x07
+            mant = (a & 0x0F).astype(np.int64)
+            shifted = ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+            mag = np.where(exp == 0, (mant << 4) + 8, shifted)
+            pcm = sign * mag
+        wave = (pcm / 32768.0).astype(np.float32)
     else:
         raise NotImplementedError(f"unsupported WAV encoding {audio_format}/{bits}")
     if n_channels > 1:

@@ -474,3 +474,96 @@ def test_png_interlaced_and_16bit_rejected():
         multimodal.decode_png(hdr(16, 2, 0))
     with _pytest.raises(NotImplementedError):
         multimodal.decode_png(hdr(8, 2, 1))
+
+
+def test_g711_wav_decodes_known_code_points():
+    """G.711 mu-law/A-law WAV: the closed-form companding inverse hits
+    the ITU-T table's known code points exactly (mu-law 0x00 -> -32124,
+    0xFF -> 0; A-law 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256)."""
+    import struct
+
+    import numpy as np
+
+    def wav(fmt_code, codes):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        data = bytes(codes)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    mu, rate = multimodal.decode_wav(wav(7, [0x00, 0xFF, 0x7F]))
+    assert rate == 8000
+    got = np.round(mu * 32768.0).astype(int).tolist()
+    assert got == [-32124, 0, 0]
+
+    al, _ = multimodal.decode_wav(wav(6, [0x55, 0xD5, 0x2A]))
+    got = np.round(al * 32768.0).astype(int).tolist()
+    assert got == [-8, 8, -32256]
+
+
+def _avi_bytes(frames: "np.ndarray", fps: float) -> bytes:
+    """Hand-assemble an uncompressed 24-bit BI_RGB RIFF/AVI from an
+    (n, h, w, 3) uint8 RGB array — bottom-up padded BGR DIB frames in a
+    movi list, the layout decode_avi must invert."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", int(1e6 / fps), 0, 0, 0, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    strh = b"vids" + b"\0" * 52
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = b""
+    for k in range(n):
+        rows = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = frames[k, y, :, ::-1].tobytes()  # RGB -> BGR
+            rows += row + b"\0" * (stride - len(row))
+        movi_frames += chunk(b"00db", rows)
+    return chunk(b"RIFF", b"AVI " + hdrl + lst(b"movi", movi_frames))
+
+
+def test_avi_decodes_and_real_frame_features(spark):
+    """decode_avi inverts the container+DIB layout on real bytes, and
+    frame_features with fake_decode=False extracts the REAL frame at
+    each sampled timestamp (container decoded once per video, indexed
+    by ts*fps)."""
+    import numpy as np
+
+    # 3 solid-color frames at 10 fps: ts 0/100/200ms hit frames 0/1/2
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = np.stack([
+        np.full((4, 6, 3), c, dtype=np.uint8) for c in colors
+    ])
+    raw = _avi_bytes(frames, fps=10.0)
+
+    got, fps = multimodal.decode_avi(raw)
+    assert fps == 10.0
+    assert (got == frames).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), 6, 4, 3, 300)],
+        "id long, data binary, width int, height int, channels int,"
+        " duration_ms long",
+    )
+    rows = multimodal.frame_features(
+        df, every_ms=100, target=(2, 2), fake_decode=False
+    ).collect()
+    assert len(rows) == 3
+    by_ts = {r["frame_ts_ms"]: r["feature"] for r in rows}
+    for ts, c in zip((0, 100, 200), colors):
+        want = np.tile(np.array(c, dtype=np.float32) / 255.0, 4)
+        assert np.allclose(by_ts[ts], want), (ts, by_ts[ts])
