@@ -613,6 +613,8 @@ def kql_filter_clps(
         if kind == "pred" or text in marker_of:
             continue
         m = f"_hit_{len(marker_of)}"
+        while m in encoded.columns:  # avoid user-column collisions
+            m = f"_{m}"
         marker_of[text] = m
         keys = payload.dropDuplicates(key_cols).withColumn(m, F.lit(True))
         out = out.join(keys, key_cols, "left")

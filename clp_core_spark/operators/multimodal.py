@@ -2,18 +2,19 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic outputs) is real and tested. Codec coverage: formats
-whose compression is stdlib-reachable decode for real — BI_RGB 24/32-bit
-BMP (:func:`decode_bmp`), non-interlaced 8-bit PNG via zlib inflate +
-numpy unfiltering (:func:`decode_png`), PCM/float/G.711-mu-law/A-law
-WAV (:func:`decode_wav`), and uncompressed 24-bit RIFF/AVI video
-(:func:`decode_avi`, real frame extraction in frame_features) — so
-every modality's ``fake=False`` path is exercised end-to-end on real
-bytes. Codecs that need external libraries this environment lacks
-(JPEG/MP3/compressed video) raise NotImplementedError unless
-``fake=True``, which substitutes a deterministic content-hash-seeded
-decoder so downstream feature/resize/frame-sample operators stay
-testable.
+deterministic outputs) is real and tested. Codec coverage — all pure
+numpy/stdlib, no external media library: BI_RGB 24/32-bit BMP
+(:func:`decode_bmp`), non-interlaced 8-bit PNG via zlib inflate +
+numpy unfiltering (:func:`decode_png`), baseline sequential JPEG with
+canonical Huffman + IDCT + 4:2:0 upsampling (:func:`decode_jpeg`),
+PCM/float/G.711-mu-law/A-law WAV (:func:`decode_wav`), and
+uncompressed 24-bit RIFF/AVI video (:func:`decode_avi`, real frame
+extraction in frame_features) — every modality's ``fake=False`` path
+is exercised end-to-end on real bytes. Remaining formats (progressive
+JPEG, MP3/AAC, compressed video codecs) raise NotImplementedError
+unless ``fake=True``, which substitutes a deterministic
+content-hash-seeded decoder so downstream feature/resize/frame-sample
+operators stay testable.
 
 Scale notes: media bytes stay in executor-side Arrow buffers end-to-end;
 ``spark.sql.files.maxPartitionBytes`` (or an explicit repartition by
@@ -156,6 +157,239 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, nch)
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT) -------------------------------
+
+# zigzag scan order: index i of the scan -> position in the 8x8 block
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8-point DCT-II matrix (T @ block @ T.T == DCT; transpose
+# pair inverts) — the convention T.81 Annex A defines
+_DCT_T = np.array([
+    [np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte unstuffing; restart markers (FFD0-D7) surface via `at_restart`
+    so the caller can reset DC predictors."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def at_restart(self) -> bool:
+        return (
+            self.nbits == 0
+            and self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        )
+
+    def skip_restart(self) -> None:
+        self.pos += 2
+        self.bitbuf = self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in JPEG entropy data")
+            self.bitbuf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an n-bit magnitude to its signed value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Pure-numpy baseline JPEG decoder (ITU-T T.81 sequential DCT,
+    SOF0): marker walk, canonical Huffman tables, per-MCU block decode
+    (DC diff + AC run/size with EOB/ZRL), dequantize, un-zigzag,
+    orthonormal IDCT, nearest-neighbor chroma upsample for subsampled
+    scans, BT.601 YCbCr->RGB. Returns (h, w, 3) uint8 RGB (grayscale
+    replicates to 3 channels). Progressive (SOF2) and arithmetic-coded
+    JPEGs raise NotImplementedError — baseline covers the overwhelming
+    majority of real files."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    scan_data = None
+    scan_comp_tables: list[tuple[int, int]] = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw = body[i + 1 : i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if prec else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                qt[tid] = vals
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                syms = body[i + 17 : i + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                i += 17 + sum(counts)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = [
+                {
+                    "id": body[6 + 3 * c],
+                    "hs": body[7 + 3 * c] >> 4,
+                    "vs": body[7 + 3 * c] & 0x0F,
+                    "qt": body[8 + 3 * c],
+                }
+                for c in range(ncomp)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential JPEG decodes")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comp_tables = [
+                (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            scan_data = payload[pos + 2 + seg_len :]
+            break
+        pos += 2 + seg_len
+    if not comps or scan_data is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    reader = _BitReader(scan_data)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if reader.at_restart():
+                    reader.skip_restart()
+                    pred = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                dc_t, ac_t = scan_comp_tables[ci]
+                quant = qt[comp["qt"]]
+                for by in range(comp["vs"]):
+                    for bx in range(comp["hs"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = _huff_decode(reader, huff[(0, dc_t)])
+                        diff = _jpeg_extend(reader.receive(s), s)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff[(1, ac_t)])
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _jpeg_extend(reader.receive(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_JPEG_ZIGZAG] = zz * quant
+                        px = _DCT_T.T @ block.reshape(8, 8) @ _DCT_T + 128.0
+                        y0 = (my * comp["vs"] + by) * 8
+                        x0 = (mx * comp["hs"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // comp["vs"], axis=0),
+                      hmax // comp["hs"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False) -> np.ndarray:
     if fake:
@@ -164,10 +398,12 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP and non-interlaced 8-bit PNG decode without a codec "
-        "library (none in this container); pass fake=True for the "
-        "deterministic stub"
+        "BMP, non-interlaced 8-bit PNG, and baseline JPEG decode without "
+        "a codec library (none in this container); pass fake=True for "
+        "the deterministic stub"
     )
 
 

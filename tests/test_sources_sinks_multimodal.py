@@ -567,3 +567,199 @@ def test_avi_decodes_and_real_frame_features(spark):
     for ts, c in zip((0, 100, 200), colors):
         want = np.tile(np.array(c, dtype=np.float32) / 255.0, 4)
         assert np.allclose(by_ts[ts], want), (ts, by_ts[ts])
+
+
+def _jpeg_bytes(px: "np.ndarray", subsample: bool = False):
+    """Hand-assemble a baseline JPEG (SOF0) from an (h, w, 3) uint8 RGB
+    array: BT.601 color convert, optional 2x2 chroma subsampling, 8x8
+    orthonormal DCT, quantize (flat table, zigzag order), canonical
+    single-length Huffman tables built from the emitted symbol sets.
+    Returns (payload, expected_rgb) where expected_rgb is the exact
+    reconstruction from the quantized coefficients via the decoder's own
+    arithmetic — so the decode test validates the marker/Huffman/
+    bitstream layers bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    q = np.full(64, 4, dtype=np.int32)  # zigzag order
+    ZZ = multimodal._JPEG_ZIGZAG
+    T = multimodal._DCT_T
+
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    hs_l = vs_l = 2 if subsample else 1
+
+    def sub(p):
+        if not subsample:
+            return p
+        hh, ww = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+        pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+        return (pp[0::2, 0::2] + pp[1::2, 0::2]
+                + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+
+    planes = [(Y, hs_l, vs_l), (sub(Cb), 1, 1), (sub(Cr), 1, 1)]
+    hmax, vmax = hs_l, vs_l
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, hs, vs in planes:
+        H, W = mcuy * vs * 8, mcux * hs * 8
+        pp = np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])), mode="edge")
+        padded.append((pp, hs, vs))
+
+    # quantized zigzag blocks in scan order + reconstruction planes
+    scan_blocks: list[tuple[int, np.ndarray]] = []
+    recon = [np.zeros_like(pp) for pp, _, _ in padded]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (pp, hs, vs) in enumerate(padded):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        blk = pp[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        F = T @ blk @ T.T
+                        zz = np.round(F.reshape(-1)[ZZ] / q).astype(np.int64)
+                        scan_blocks.append((ci, zz))
+                        deq = np.zeros(64)
+                        deq[ZZ] = zz * q
+                        recon[ci][y0:y0 + 8, x0:x0 + 8] = (
+                            T.T @ deq.reshape(8, 8) @ T + 128.0
+                        )
+
+    # expected pixels via the decoder's own upsample/convert/round math
+    full = []
+    for ci, (_, hs, vs) in enumerate(padded):
+        p = np.repeat(np.repeat(recon[ci], vmax // vs, axis=0),
+                      hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    exp = np.clip(np.round(np.stack(
+        [yy + 1.402 * cr, yy - 0.344136 * cb - 0.714136 * cr,
+         yy + 1.772 * cb], axis=2)), 0, 255).astype(np.uint8)
+
+    # symbol streams (two-pass: collect, then emit)
+    def bitlen(v):
+        return int(v).bit_length()
+
+    def sym_stream():
+        pred = [0, 0, 0]
+        for ci, zz in scan_blocks:
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s = bitlen(abs(diff))
+            yield ("dc", s, diff, s)
+            k, run = 1, 0
+            while k < 64:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        yield ("ac", 0xF0, 0, 0)
+                        run -= 16
+                    size = bitlen(abs(v))
+                    yield ("ac", (run << 4) | size, v, size)
+                    run = 0
+                k += 1
+            if run:
+                yield ("ac", 0x00, 0, 0)
+
+    dc_syms = sorted({s for kind, s, _, _ in sym_stream() if kind == "dc"})
+    ac_syms = sorted({s for kind, s, _, _ in sym_stream() if kind == "ac"})
+
+    def canon(syms):
+        L = max(2, (len(syms)).bit_length() + 1)  # 2^L > N, all-ones free
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        codes = {s: (L, i) for i, s in enumerate(syms)}
+        return counts, codes
+
+    dc_counts, dc_codes = canon(dc_syms)
+    ac_counts, ac_codes = canon(ac_syms)
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code, length):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (bitbuf >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    for kind, s, v, size in sym_stream():
+        L, c = (dc_codes if kind == "dc" else ac_codes)[s]
+        put(c, L)
+        if size:
+            put(v if v >= 0 else v + (1 << size) - 1, size)
+    if nbits:
+        pad = 8 - nbits
+        put((1 << pad) - 1, pad)  # T.81: pad the last byte with 1-bits
+    data = bytes(out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof_comps = b"".join(
+        bytes([i + 1, (hs << 4) | vs, 0])
+        for i, (_, hs, vs) in enumerate(padded)
+    )
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes(int(x) for x in q))
+        + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
+        + seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms))
+        + seg(0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + data
+        + b"\xff\xd9"
+    )
+    return payload, exp
+
+
+def test_jpeg_decodes_for_real(spark):
+    """Baseline JPEG: the decoder reproduces the exact reconstruction
+    implied by the quantized coefficients (marker walk + canonical
+    Huffman + dequant + IDCT validated end-to-end on real bytes), for
+    both 4:4:4 and 4:2:0 chroma sampling, and drives image_stats
+    fake_decode=False."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for subsample in (False, True):
+        px = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+        raw, exp = _jpeg_bytes(px, subsample=subsample)
+        got = multimodal.decode_jpeg(raw)
+        assert got.shape == exp.shape
+        assert (got == exp).all(), f"subsample={subsample}"
+        # lossy-but-sane: solid color survives within quant error
+    solid = np.full((16, 16, 3), (200, 64, 30), dtype=np.uint8)
+    raw, exp = _jpeg_bytes(solid)
+    got = multimodal.decode_jpeg(raw)
+    assert np.abs(got.astype(int) - solid.astype(int)).max() <= 6
+
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), 16, 16, 3)],
+        "id long, data binary, width int, height int, channels int",
+    )
+    [r] = multimodal.image_stats(df, fake_decode=False).collect()
+    for ch in range(3):
+        assert abs(r["mean"][ch] - exp[:, :, ch].mean()) < 1e-3
+
+
+def test_jpeg_progressive_rejected():
+    import struct
+
+    body = b"\x08" + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    raw = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2)
+           + body + b"\xff\xd9")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg(raw)
