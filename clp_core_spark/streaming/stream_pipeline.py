@@ -64,7 +64,10 @@ def count_by_time_stream(
 SESSION_SCHEMA = (
     "conv_id string, session_start_ms long, session_end_ms long, n_turns long"
 )
-_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+# ALL open sessions (not just the latest): bounded by the watermark
+# horizon / gap ratio, since any session with last + gap below the
+# watermark is emitted and dropped from state
+_SESSION_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def sessionize_stream(
@@ -79,21 +82,21 @@ def sessionize_stream(
     built-in windowed aggs can't express (a session has a data-dependent
     extent: it closes when the NEXT turn is more than ``gap_ms`` away).
 
-    State per conversation = the open session (start_ms, last_ms,
-    n_turns), carried across micro-batches. Each batch builds
-    gaps-and-islands over its own (sorted) turns, interval-merges the
-    open session in, emits every closed interval and keeps the last one
-    open; an event-time timeout at ``last_ms + gap_ms`` (clamped above
-    the watermark) flushes the final open session once the watermark
-    passes it, so sessions complete without waiting for more data on
-    their key. Late rows inside the watermark merge correctly wherever
-    they fall: a row within ``gap_ms`` BEFORE the open session's start
-    pulls ``session_start_ms`` back (min), and rows more than ``gap_ms``
-    earlier form their own (immediately emitted) earlier session —
-    matching the batch gaps-and-islands oracle over the rows seen so
-    far. The one approximation vs batch: an already-emitted earlier
-    session cannot absorb still-later arrivals; rows beyond the
-    watermark are dropped (same lateness contract as
+    State per conversation = EVERY still-open session (parallel arrays
+    of start/last/count), carried across micro-batches. Each batch
+    builds gaps-and-islands over its own (sorted) turns, interval-merges
+    them with the open set, then emits exactly the sessions the
+    watermark has PROVEN closed: a session with
+    ``last + gap_ms <= watermark`` can never be extended, because any
+    row that would extend it has ``ts <= last + gap_ms <= watermark``
+    and is dropped as late before reaching the operator. Everything
+    else stays in state (bounded by watermark-horizon / gap), with an
+    event-time timeout at the earliest provable close so idle keys
+    flush without more data. This makes the operator EXACTLY equivalent
+    to the batch gaps-and-islands oracle under ANY within-watermark
+    disorder — late rows merge wherever they fall, pull session starts
+    back, bridge two open sessions into one, or open earlier sessions;
+    rows beyond the watermark are dropped (same lateness contract as
     count_by_time_stream).
 
     Output (append mode): one row per CLOSED session —
@@ -104,12 +107,12 @@ def sessionize_stream(
         import pandas as pd
 
         cols = ["conv_id", "session_start_ms", "session_end_ms", "n_turns"]
-        sessions: list[tuple] = []
-        if state.hasTimedOut:
-            start, last, n = state.get
-            sessions.append((key[0], start, last, n))
-            state.remove()
-        else:
+        open_iv: list[tuple[int, int, int]] = (
+            [tuple(int(x) for x in iv) for iv in zip(*state.get)]
+            if state.exists
+            else []
+        )
+        if not state.hasTimedOut:
             parts = [pdf for pdf in pdfs if len(pdf)]
             ts_sorted = (
                 pd.concat(parts, ignore_index=True)["_ts_ms"]
@@ -119,41 +122,43 @@ def sessionize_stream(
                 if parts
                 else []
             )
-            # gaps-and-islands over this batch's sorted rows, then
-            # interval-merge the carried open session in — so a late row
-            # can extend the open session BACKWARD (min start) and rows
-            # more than gap_ms earlier become their own island instead
-            # of being absorbed forward
-            islands: list[tuple[int, int, int]] = []
+            # gaps-and-islands over this batch's sorted rows
             for t in ts_sorted:
                 t = int(t)
-                if islands and t - islands[-1][1] <= gap_ms:
-                    s, last, n = islands[-1]
-                    islands[-1] = (s, max(last, t), n + 1)
+                if open_iv and t - open_iv[-1][1] <= gap_ms and t >= open_iv[-1][0]:
+                    s, last, n = open_iv[-1]
+                    open_iv[-1] = (s, max(last, t), n + 1)
                 else:
-                    islands.append((t, t, 1))
-            if state.exists:
-                islands.append(tuple(state.get))
-                islands.sort(key=lambda iv: iv[0])
-                merged = [islands[0]]
-                for s, last, n in islands[1:]:
+                    open_iv.append((t, t, 1))
+            # interval-merge batch islands with the carried open set
+            open_iv.sort(key=lambda iv: iv[0])
+            merged: list[tuple[int, int, int]] = []
+            for s, last, n in open_iv:
+                if merged and s - merged[-1][1] <= gap_ms:
                     ps, plast, pn = merged[-1]
-                    if s - plast <= gap_ms:
-                        merged[-1] = (ps, max(plast, last), pn + n)
-                    else:
-                        merged.append((s, last, n))
-                islands = merged
-            cur = islands[-1] if islands else None
-            for s, last, n in islands[:-1]:
-                sessions.append((key[0], s, last, n))
-            if cur is not None:
-                state.update(cur)
-                # the flush alarm: must sit strictly above the current
-                # watermark or Spark rejects it
-                state.setTimeoutTimestamp(
-                    max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
-                )
-        yield pd.DataFrame(sessions, columns=cols)
+                    merged[-1] = (ps, max(plast, last), pn + n)
+                else:
+                    merged.append((s, last, n))
+            open_iv = merged
+        wm = state.getCurrentWatermarkMs()
+        closed = [iv for iv in open_iv if iv[1] + gap_ms <= wm]
+        still_open = [iv for iv in open_iv if iv[1] + gap_ms > wm]
+        if still_open:
+            state.update((
+                [iv[0] for iv in still_open],
+                [iv[1] for iv in still_open],
+                [iv[2] for iv in still_open],
+            ))
+            # alarm at the earliest provable close; must sit strictly
+            # above the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+                max(min(iv[1] + gap_ms for iv in still_open), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            [(key[0], s, last, n) for s, last, n in closed], columns=cols
+        )
 
     return (
         stream.withColumn(

@@ -219,3 +219,53 @@ def test_sessionize_stream_late_rows_within_watermark(spark, tmp_path):
     assert want == {("C", base, base + 10_000, 2),
                     ("C", base + 570_000, base + 610_000, 3)}
     assert got == want
+
+
+def test_sessionize_stream_exact_cross_batch_late_merge(spark, tmp_path):
+    """EXACT event-time sessionization: an earlier session stays OPEN in
+    state until the watermark proves it closed, so a later batch's late
+    row (still within the watermark) merges into it instead of the
+    session having been emitted prematurely. file1 opens a session at
+    +600s; file2 delivers a late row at +0s (its own earlier session);
+    file3 delivers +30s, which must EXTEND that earlier session to
+    (0, 30s) — designs that emit the earlier session as soon as it is
+    seen produce two fragments instead."""
+    import pyspark.sql.functions as F
+
+    inp = str(tmp_path / "exact_input")
+    gap_ms = 60_000
+    base = 1_700_000_000_000
+    files = [
+        [("C", 0, base + 600_000), ("C", 1, base + 610_000)],
+        [("C", 2, base + 0)],
+        [("C", 3, base + 30_000)],
+        [("__flush__", 0, base + 100_000_000)],
+    ]
+    for rows in files:
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, _ms long"
+        ).select(
+            "conv_id", "turn_idx",
+            F.lit("user").alias("role"), F.lit("x").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_millis(F.col("_ms")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = sp.read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    sess = sp.sessionize_stream(stream, gap_ms=gap_ms, watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("exact_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["session_start_ms"], r["session_end_ms"], r["n_turns"])
+        for r in spark.sql(
+            "SELECT * FROM exact_sessions WHERE conv_id != '__flush__'"
+        ).collect()
+    }
+    assert got == {("C", base, base + 30_000, 2),
+                   ("C", base + 600_000, base + 610_000, 2)}
