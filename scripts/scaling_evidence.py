@@ -120,7 +120,10 @@ def main() -> int:
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         f.write(json.dumps(legs) + "\n")
     md = render(legs, pair=pair)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # scaling_latest.md, NOT BASELINE.md: BASELINE.md accumulates
+    # per-round sections by hand and must never be clobbered (this
+    # script overwrote it once in round 5 — restored from git)
+    with open(f"{REPO}/BENCH/scaling_latest.md", "w") as f:
         f.write(md)
     print(md)
     return 0
