@@ -390,8 +390,21 @@ def _q_sink_counts_events(spark, sf_dir):
 
 
 def _q_count_by_time(spark, sf_dir):
+    """Reducer-style bucketed aggregate: CountOperator + a distinct-user
+    count in ONE two-phase plan (consolidates the former
+    agg_distinct_users row — same bucketing as aggregate.count_by_time,
+    clp/clo/OutputHandler.hpp:269-271)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
-    return aggregate.count_by_time(ev, bucket_ms=3_600_000)
+    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+    bucket = (epoch - F.pmod(epoch, F.lit(3_600_000))).alias("bucket_ts")
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count("*").alias("count"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket_ts")
+    )
 
 
 def _q_topk_latest(spark, sf_dir):
@@ -1024,11 +1037,16 @@ def _q_search_count_by_time(spark, sf_dir):
     return aggregate.count_by_time(hits, bucket_ms=3_600_000)
 
 
-def _q_distinct_users(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
-    )
+def _q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution over the minhash near-dup PAIRS: connected
+    components via distributed min-label propagation, each document
+    mapped to its cluster's canonical (minimum) id — the step a
+    training-data pipeline needs after pair generation, since a~b, b~c
+    must keep ONE of {a,b,c}, which pairwise filtering cannot express.
+    Docs in no pair are their own canonical."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    return dedup.near_dup_clusters(d, pairs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1076,7 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_date_range": _q_kql_date_range,
         "window_turn_gap": _q_window_gap,
         "clp_search_time_range": _q_search_time_range,
-        "agg_distinct_users": _q_distinct_users,
+        "dedup_cluster_canonical": _q_dedup_clusters,
         "clp_search_count_by_time": _q_search_count_by_time,
         "clp_search_two_vars": _q_search_two_vars,
         "clp_schema_roundtrip": _q_schema_roundtrip,
@@ -1152,7 +1170,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_count_by_time": (
             "SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ts,"
-            " count(*) AS count FROM events WHERE event_type = 'error'"
+            " count(*) AS count, count(DISTINCT user_id) AS n_users"
+            " FROM events WHERE event_type = 'error'"
             " GROUP BY 1 ORDER BY 1"
         ),
         "agg_topk_latest": (
@@ -1338,9 +1357,20 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
             " AND epoch_ms(ts) >= 1704844800000"
             " AND epoch_ms(ts) <= 1705449600000"
         ),
-        "agg_distinct_users": (
-            "SELECT event_type, count(DISTINCT user_id) AS n_users"
-            " FROM events GROUP BY event_type"
+        # connected components over the SAME pair set as dedup_minhash_lsh
+        # (the exact-Jaccard oracle), resolved with a recursive CTE:
+        # reach(id, r) accumulates every id reachable from id, min(r) is
+        # the component canonical; docs in no pair reach only themselves
+        "dedup_cluster_canonical": (
+            "WITH RECURSIVE pairs AS (" + _JACCARD_SQL + "),"
+            " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            " UNION SELECT id_b, id_a FROM pairs),"
+            " reach(id, r) AS ("
+            " SELECT doc_id, doc_id FROM documents"
+            " UNION"
+            " SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)"
+            " SELECT id AS doc_id, min(r) AS canonical_id"
+            " FROM reach GROUP BY id"
         ),
         "clp_search_count_by_time": (
             "SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ts,"

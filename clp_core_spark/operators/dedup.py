@@ -440,3 +440,82 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: near-dup pairs -> connected components -> canonical doc
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters and pick each cluster's
+    canonical document: returns (id_col, canonical_id) for EVERY row of
+    ``df``, where canonical_id is the minimum id reachable through the
+    pair graph (docs in no pair are their own canonical) — the step a
+    training-data pipeline runs after pair generation, since dedup
+    keeps ONE representative per duplicate CLUSTER, not per pair
+    (a~b, b~c must drop both b and c, which pairwise filtering misses).
+
+    Distributed min-label propagation: labels start as each node's own
+    id; each round every node takes the min of its label and its
+    neighbors' labels (one shuffle per round on the edge key), stopping
+    when a round changes nothing. Rounds needed = the pair graph's
+    component diameter — near-dup graphs are shallow (stars/cliques
+    around a popular document; LSH emits most intra-cluster edges, not
+    a path), so 2-4 rounds is typical; ``max_iters`` bounds adversarial
+    chains, and the alternating large-star/small-star variant is the
+    drop-in upgrade if a corpus ever produces deep components. Only
+    (long, long) label pairs ever shuffle — document text never moves."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                    .alias("_changed"),
+                )
+                .persist()
+            )
+            changed = new_labels.filter(F.col("_changed")).count()
+            old = labels
+            labels = new_labels.drop("_changed").persist()
+            labels.count()
+            new_labels.unpersist()
+            old.unpersist()
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("canonical_id")
+        )
+    finally:
+        edges.unpersist()

@@ -86,3 +86,32 @@ def test_minhash_arbitrary_k(docs):
         dedup.minhash_signature(dedup.word_shingles(F.col("text"), 3), 128
                                 ).alias("s")).first()["s"]
     assert sig128[:64] == sig64
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Cluster resolution must be TRANSITIVE: a~b and b~c put all three
+    under canonical a even if (a, c) was never emitted as a pair —
+    pairwise filtering cannot express this. Chains longer than one hop
+    converge via repeated label propagation; singletons stay their own
+    canonical."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 20)], "doc_id long"
+    )
+    # one 5-chain (worst case for propagation: a path, not a star),
+    # one 2-clique, one singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_clusters_empty_pairs(spark):
+    docs = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.near_dup_clusters(docs, pairs).collect()}
+    assert got == {7: 7, 9: 9}
