@@ -451,6 +451,9 @@ def _q_text_analysis(spark, sf_dir):
         textstats.quality_score(F.col("text")).alias("quality"),
         textstats.lang_id(F.col("text")).alias("lang_pred"),
         textstats.fingerprint64(F.col("text")).alias("fp"),
+        textstats.dup_line_ratio(F.col("text")).alias("dup_line_ratio"),
+        textstats.top_bigram_fraction(F.col("text")).alias("top_bigram_frac"),
+        textstats.gopher_keep(F.col("text")).alias("keep"),
     )
 
 
@@ -1207,8 +1210,30 @@ def oracle_sql() -> dict[str, str]:
             " list_reduce(list_prepend(0::BIGINT,"
             " list_transform(generate_series(1, length(text)),"
             " i -> ascii(substr(text, i, 1))::BIGINT)),"
-            " (acc, c) -> (acc * 31 + c) % 2147483648) AS fp"
-            " FROM documents"
+            " (acc, c) -> (acc * 31 + c) % 2147483648) AS fp,"
+            # repetition metrics + the Gopher-style gate (same list
+            # arithmetic as the Column forms; round(...,6) both sides)
+            " round(1.0 - len(list_distinct(string_split(text, chr(10))))"
+            "   / greatest(len(string_split(text, chr(10))), 1), 6)"
+            " AS dup_line_ratio,"
+            " CASE WHEN len(string_split(text, ' ')) >= 2 THEN round("
+            "   list_aggregate(list_transform("
+            "     list_distinct(bigrams.g),"
+            "     d -> len(list_filter(bigrams.g, x -> x = d))), 'max')"
+            "   / len(bigrams.g), 6) ELSE 0.0 END AS top_bigram_frac,"
+            " (len(string_split(text, ' ')) BETWEEN 10 AND 100000"
+            "  AND (length(replace(text, ' ', ''))"
+            "   / greatest(len(string_split(text, ' ')), 1))"
+            "   BETWEEN 2 AND 12"
+            "  AND round(1.0 - len(list_distinct(string_split(text, chr(10))))"
+            "   / greatest(len(string_split(text, chr(10))), 1), 6) <= 0.5"
+            "  AND (len(regexp_extract_all(text, '[A-Za-z]'))"
+            "   / greatest(length(text), 1)) >= 0.4) AS keep"
+            " FROM documents,"
+            " LATERAL (SELECT list_transform("
+            "   generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),"
+            "   i -> string_split(text, ' ')[i] || ' '"
+            "     || string_split(text, ' ')[i+1]) AS g) bigrams"
         ),
         # exact 3-gram Jaccard; MinHash-LSH shares this oracle because every
         # planted near-dup pair sits far above the 0.5 threshold (j ~ 0.99),

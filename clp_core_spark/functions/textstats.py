@@ -93,3 +93,65 @@ def fingerprint64(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(2147483648)),
     )
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of duplicated lines (Gopher-style repetition signal):
+    1 - distinct_lines / lines. SQL twin:
+    1 - len(list_distinct(string_split(text, chr(10)))) /
+    len(string_split(text, chr(10)))."""
+    lines = F.split(text, "\n")
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)) / F.greatest(F.size(lines), F.lit(1)),
+        6,
+    )
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of all word bigrams taken by the single most common one
+    (Gopher's top-n-gram repetition filter at n=2). Pure Column HOFs —
+    O(distinct x total) per row, still JVM-side and fine for documents;
+    the SQL twin mirrors the same list arithmetic. Texts with < 2 tokens
+    score 0."""
+    toks = F.split(text, " ")
+    k = F.size(toks) - 1
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(F.size(grams) > 0, F.round(
+        F.array_max(counts) / F.size(grams), 6
+    )).otherwise(F.lit(0.0))
+
+
+def gopher_keep(text: Column) -> Column:
+    """Gopher-rule-style document gate (Rae et al. 2021 heuristics,
+    thresholds adapted): keep a document iff its whitespace token count
+    is in [10, 100000], its mean token length is in [2, 12], at most
+    half its lines are duplicates, and at least 40% of characters are
+    alphabetic. Boolean Column; each term has an exact SQL twin."""
+    n_tokens = token_count_ws(text)
+    mean_tok_len = (
+        F.length(F.translate(text, " ", "")) / F.greatest(n_tokens, F.lit(1))
+    )
+    alpha_ratio = _count_matches(text, "[A-Za-z]") / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    return (
+        n_tokens.between(10, 100_000)
+        & mean_tok_len.between(2, 12)
+        & (dup_line_ratio(text) <= 0.5)
+        & (alpha_ratio >= 0.4)
+    )

@@ -74,3 +74,36 @@ def test_fingerprint_order_sensitive(spark):
     )
     out = _col(df, textstats.fingerprint64(F.col("text")))
     assert out[0] != out[1]
+
+
+def test_dup_line_ratio_and_top_bigram(spark):
+    rows = [
+        (0, "a b\na b\nc d"),        # 3 lines, 2 distinct -> 1/3 dup
+        (1, "x y x y x y"),          # bigrams: xy yx xy yx xy -> 3/5
+        (2, "one"),                  # <2 tokens -> bigram frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        textstats.dup_line_ratio(F.col("text")).alias("dl"),
+        textstats.top_bigram_fraction(F.col("text")).alias("tb"),
+    ).collect()}
+    assert abs(got[0]["dl"] - (1 - 2 / 3)) < 1e-6
+    assert got[1]["dl"] == 0.0
+    assert abs(got[1]["tb"] - 3 / 5) < 1e-6
+    assert got[2]["tb"] == 0.0
+
+
+def test_gopher_keep_gate(spark):
+    good = "the quick brown fox jumps over the lazy dog again today ok"
+    rows = [
+        (0, good),                                   # passes every rule
+        (1, "short text"),                           # too few tokens
+        (2, "\n".join(["dup line here ok now"] * 12)),  # dup-line ratio 11/12
+        (3, " ".join(["12345"] * 20)),               # alpha ratio 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["k"] for r in df.select(
+        "doc_id", textstats.gopher_keep(F.col("text")).alias("k")
+    ).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False}
