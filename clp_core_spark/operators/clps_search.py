@@ -225,8 +225,9 @@ def _parse_bool_tree(kql: str):
     to prefixed clauses ``(col.x: 1 AND col.y: 2)`` (clp_s NestedQuery,
     keys resolve under the ``col.`` prefix) — so their inner clauses
     participate in the OR-of-ANDs normalization and can target encoded
-    ClpString columns; bare values inside braces keep default-column
-    semantics (no prefix), matching KqlCompiler."""
+    ClpString columns; bare values inside braces prefix the implicit
+    ``*`` descriptor too (``col.*: v`` — kql.cpp visitNestedQuery
+    prepends the column to every descriptor), matching KqlCompiler."""
     toks = _lex(kql)
     pos = 0
     prefix: list[str] = []  # nested-object descriptor stack

@@ -227,7 +227,15 @@ def minhash_lsh_pairs(
     shuffle; shingle arrays are re-attached to the (small) candidate-pair
     set afterwards, so shuffle bytes are O(bands x ids), not
     O(bands x corpus shingles)."""
-    rows_per_band = num_hashes // bands
+    rows_per_band, rem = divmod(num_hashes, bands)
+    if rows_per_band < 1 or rem:
+        # rows_per_band == 0 would hash zero signature elements per band
+        # (every doc in one shared bucket -> O(n^2) self-join); a
+        # non-multiple would silently drop the trailing hashes
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     base = _shingled(df, id_col, text_col, shingle_n)
     sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
 
@@ -488,6 +496,7 @@ def near_dup_clusters(
     )
     labels.count()
     try:
+        changed = 0
         for _ in range(max_iters):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.id)
@@ -514,6 +523,16 @@ def near_dup_clusters(
             old.unpersist()
             if changed == 0:
                 break
+        if changed:
+            # exhausting max_iters with labels still moving means some
+            # component's diameter exceeds the round budget — returning
+            # here would silently split one duplicate cluster into
+            # several "canonical" groups
+            raise RuntimeError(
+                f"near_dup_clusters did not converge in {max_iters} rounds "
+                f"({changed} labels still changing); a pair-graph component "
+                f"has diameter > max_iters — raise max_iters"
+            )
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("canonical_id")
         )

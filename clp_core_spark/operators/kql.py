@@ -553,7 +553,13 @@ class KqlCompiler:
                 return self._value_list(tokens)
             val = self._next()
             return self.match_pred(tokens, val)
-        # bare value: match any string column (default-column search)
+        # bare value: default-column search. Inside a nested-object
+        # subquery the implicit '*' descriptor is prefixed too (kql.cpp
+        # visitNestedQuery prepends the column to EVERY descriptor,
+        # including the wildcard one), so `col: {x: 1 AND "bar"}`
+        # scopes "bar" to col.* — same rewrite kql_filter_clps applies.
+        if prefix:
+            return self.match_pred(prefix + _descriptor_tokens("*"), t)
         return self._any_column_match(t)
 
     def _value_list(self, tokens: tuple) -> Column:

@@ -178,8 +178,8 @@ _DCT_T = np.array([
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
-    byte unstuffing; restart markers (FFD0-D7) surface via `at_restart`
-    so the caller can reset DC predictors."""
+    byte unstuffing; `skip_restart` crosses FFD0-D7 restart boundaries
+    (byte-align + consume) so the caller can reset DC predictors."""
 
     def __init__(self, data: bytes):
         self.data = data
@@ -187,17 +187,19 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
 
-    def at_restart(self) -> bool:
-        return (
-            self.nbits == 0
-            and self.pos + 1 < len(self.data)
+    def skip_restart(self) -> None:
+        """Cross a restart boundary: discard the partial byte (the
+        encoder byte-aligns with 1-bit padding before every RSTn —
+        ITU T.81 B.2.1.1 — so leftover bits are padding, not entropy
+        data) and consume the expected FFD0-D7 marker."""
+        self.bitbuf = self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.data)
             and self.data[self.pos] == 0xFF
             and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        )
-
-    def skip_restart(self) -> None:
+        ):
+            raise ValueError("expected JPEG restart marker")
         self.pos += 2
-        self.bitbuf = self.nbits = 0
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -337,9 +339,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                if reader.at_restart():
-                    reader.skip_restart()
-                    pred = [0] * len(comps)
+                reader.skip_restart()
+                pred = [0] * len(comps)
             for ci, comp in enumerate(comps):
                 dc_t, ac_t = scan_comp_tables[ci]
                 quant = qt[comp["qt"]]
@@ -522,6 +523,13 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     stride = (w * 3 + 3) & ~3
     frames = np.empty((len(frame_spans), hh, w, 3), dtype=np.uint8)
     for i, (off, size) in enumerate(frame_spans):
+        if size < stride * hh:
+            # reading stride*hh bytes from a short chunk would pull the
+            # next chunk's header in as pixel rows with no error
+            raise ValueError(
+                f"AVI frame chunk {i}: {size} bytes < expected "
+                f"{stride * hh} (truncated or non-BI_RGB frame)"
+            )
         px = np.frombuffer(payload, dtype=np.uint8, offset=off,
                            count=stride * hh)
         px = px.reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)

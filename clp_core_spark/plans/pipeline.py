@@ -31,6 +31,7 @@ import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 from clp_core_spark.operators import dictionaries, encode_pipeline, enrich, route
 from clp_core_spark.plans import dictstore
@@ -184,7 +185,10 @@ class IngestPipeline:
                 .distinct()
                 .collect()
             )
-        except Exception:  # noqa: BLE001 — no tags ever written
+        except AnalysisException:  # no tags ever written (path missing);
+            # real read errors (corrupt footer, permissions) propagate —
+            # swallowing them would silently turn a tagged search into
+            # zero results
             return set()
         return {r["epoch_part"] for r in rows}
 

@@ -115,3 +115,31 @@ def test_near_dup_clusters_empty_pairs(spark):
     got = {r["doc_id"]: r["canonical_id"]
            for r in dedup.near_dup_clusters(docs, pairs).collect()}
     assert got == {7: 7, 9: 9}
+
+
+def test_minhash_lsh_invalid_band_config(spark):
+    """num_hashes must be a positive multiple of bands: rows_per_band==0
+    would put every doc in one shared bucket per band (silent O(n^2)
+    self-join), and a non-multiple would silently drop trailing hashes."""
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=48, bands=32)
+
+
+def test_near_dup_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iters must raise, not
+    silently return a split cluster (several 'canonical' copies of one
+    duplicate group)."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(docs, chain, max_iters=1)
+    # and the same graph converges with an adequate budget
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.near_dup_clusters(docs, chain, max_iters=10).collect()}
+    assert set(got.values()) == {1}

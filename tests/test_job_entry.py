@@ -292,3 +292,24 @@ def test_json_search_releases_caches(tmp_path, spark):
     for _ in range(2):
         job._run_json_job(spark, args)
     assert n_persisted() <= baseline
+
+
+def test_tagged_epochs_corrupt_table_propagates(tmp_path, spark):
+    """A missing tags table means 'untagged archive set' (matches
+    nothing), but a CORRUPT tags table must raise — swallowing the read
+    error would silently report 0 matches for a tagged search."""
+    import pytest
+
+    from clp_core_spark.plans.pipeline import IngestPipeline
+
+    work = str(tmp_path / "wrk")
+    pipe = IngestPipeline(spark, work, num_partitions=2)
+    assert pipe.tagged_epochs(["prod"]) == set()  # no tags ever written
+
+    os.makedirs(f"{work}/tags", exist_ok=True)
+    with open(f"{work}/tags/part-00000.parquet", "wb") as f:
+        f.write(b"this is not a parquet file")
+    # a corrupt footer surfaces as a Py4J/Spark read error, not the
+    # AnalysisException the missing-path case maps to set()
+    with pytest.raises(Exception, match="FOOTER|footer|Parquet"):
+        pipe.tagged_epochs(["prod"])

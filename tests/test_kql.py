@@ -85,3 +85,15 @@ def test_escapes(df):
     with pytest.raises(ValueError):
         q(df, r"msg: connection\ opened")
     assert q(df, "msg: disk\\*") == set()  # escaped wildcard is literal
+
+
+def test_nested_bare_value_scopes_to_prefix(df):
+    """A bare value inside a nested-object subquery resolves against the
+    prefixed implicit '*' descriptor (kql.cpp visitNestedQuery prepends
+    the column to EVERY descriptor), not the whole record — the same
+    rewrite kql_filter_clps applies, so both KQL entry points agree."""
+    # "heartbeat" lives in msg (row 4) but under no ctx.* string leaf:
+    # global default-column semantics would wrongly yield {4}
+    assert q(df, "ctx: {shard >= 1 AND heartbeat}") == set()
+    assert q(df, "ctx: {shard > 1 AND web}") == {1}
+    assert q(df, "ctx: {db}") == {2, 3}

@@ -569,7 +569,8 @@ def test_avi_decodes_and_real_frame_features(spark):
         assert np.allclose(by_ts[ts], want), (ts, by_ts[ts])
 
 
-def _jpeg_bytes(px: "np.ndarray", subsample: bool = False):
+def _jpeg_bytes(px: "np.ndarray", subsample: bool = False,
+                restart_interval: int = 0):
     """Hand-assemble a baseline JPEG (SOF0) from an (h, w, 3) uint8 RGB
     array: BT.601 color convert, optional 2x2 chroma subsampling, 8x8
     orthonormal DCT, quantize (flat table, zigzag order), canonical
@@ -622,7 +623,7 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False):
                         blk = pp[y0:y0 + 8, x0:x0 + 8] - 128.0
                         F = T @ blk @ T.T
                         zz = np.round(F.reshape(-1)[ZZ] / q).astype(np.int64)
-                        scan_blocks.append((ci, zz))
+                        scan_blocks.append((my * mcux + mx, ci, zz))
                         deq = np.zeros(64)
                         deq[ZZ] = zz * q
                         recon[ci][y0:y0 + 8, x0:x0 + 8] = (
@@ -646,7 +647,14 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False):
 
     def sym_stream():
         pred = [0, 0, 0]
-        for ci, zz in scan_blocks:
+        prev_mcu = 0
+        for mcu, ci, zz in scan_blocks:
+            if restart_interval and mcu != prev_mcu and mcu % restart_interval == 0:
+                # T.81 restart boundary: pad to byte, emit RSTn (mod 8),
+                # reset DC prediction
+                pred = [0, 0, 0]
+                yield ("rst", (mcu // restart_interval - 1) % 8, 0, 0)
+            prev_mcu = mcu
             diff = int(zz[0]) - pred[ci]
             pred[ci] = int(zz[0])
             s = bitlen(abs(diff))
@@ -695,6 +703,12 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False):
                 out.append(0x00)
 
     for kind, s, v, size in sym_stream():
+        if kind == "rst":
+            if nbits:
+                pad = 8 - nbits
+                put((1 << pad) - 1, pad)
+            out += bytes([0xFF, 0xD0 + s])
+            continue
         L, c = (dc_codes if kind == "dc" else ac_codes)[s]
         put(c, L)
         if size:
@@ -717,6 +731,8 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False):
         + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
         + seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms))
         + seg(0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms))
+        + (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
         + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
         + data
         + b"\xff\xd9"
@@ -763,3 +779,39 @@ def test_jpeg_progressive_rejected():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         multimodal.decode_jpeg(raw)
+
+
+def test_jpeg_restart_markers():
+    """Baseline JPEG with a DRI segment (typical camera output): restart
+    boundaries byte-align the reader, consume the RSTn marker whether or
+    not the entropy stream happened to end byte-aligned, and reset DC
+    predictors — decode is exact, same as the DRI-free path."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for subsample, ri in ((False, 2), (True, 1), (False, 5)):
+        px = rng.randint(0, 256, size=(21, 19, 3), dtype=np.uint8)
+        raw, exp = _jpeg_bytes(px, subsample=subsample, restart_interval=ri)
+        assert b"\xff\xdd" in raw  # DRI segment present
+        got = multimodal.decode_jpeg(raw)
+        assert got.shape == exp.shape
+        assert (got == exp).all(), f"subsample={subsample} ri={ri}"
+
+
+def test_avi_truncated_frame_chunk_rejected():
+    """A frame chunk whose declared size is smaller than stride*height
+    must raise instead of silently reading the next chunk's bytes as
+    pixel rows."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    raw = bytearray(_avi_bytes(frames, fps=10.0))
+    # shrink the first '00db' chunk's declared size below stride*h
+    i = raw.index(b"00db")
+    size = struct.unpack("<I", raw[i + 4 : i + 8])[0]
+    raw[i + 4 : i + 8] = struct.pack("<I", size - 8)
+    with pytest.raises(ValueError, match="AVI frame chunk"):
+        multimodal.decode_avi(bytes(raw))
