@@ -98,6 +98,7 @@ def write_glt_layout(
     partitions: int = 32,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     combine_threshold: float | None = None,
+    row_group_bytes: int | None = None,
 ) -> None:
     """GLT's logtype-grouped storage (glt/streaming_archive/writer/
     LogtypeTable.hpp:13-80): range-partition + sort rows by logtype_id so
@@ -111,7 +112,18 @@ def write_glt_layout(
     combined-table rule (glt/glt/CommandLineArguments.hpp:38,69,111):
     logtypes below the threshold share a single "combined" cluster key so
     rare templates pack together instead of fragmenting the range
-    partitioner — big logtypes keep dedicated file ranges either way."""
+    partitioner — big logtypes keep dedicated file ranges either way.
+
+    ``row_group_bytes`` caps the parquet row-group size (default: the
+    writer's 128 MB). Clustering confines a hot logtype to FEW files;
+    with one giant row group per file those files admit one scan task
+    each, so a query matching a hot template trades parallelism for
+    pruning. Smaller row groups are the Spark-native form of CLP's
+    bounded segment sizing (clp/streaming_archive/writer/Archive.hpp
+    m_target_segment_uncompressed_size): each group is an independently
+    readable-and-skippable unit, so the scan of the surviving files
+    parallelizes again AND min/max pruning gets finer. 8-16 MB is a
+    sensible floor — below that, footer/dictionary overhead grows."""
     cluster = F.col("logtype_id")
     if combine_threshold is not None:
         counts = encoded.groupBy("logtype_id").agg(F.count("*").alias("_n"))
@@ -124,14 +136,16 @@ def write_glt_layout(
         cluster = F.when(
             F.col("logtype_id").isin(big), F.col("logtype_id")
         ).otherwise(F.lit(-1)).alias("_glt_cluster")
-    (
+    writer = (
         # secondary range key: a hot (or combined) cluster can span several
         # consecutive partitions without interleaving other logtypes
         encoded.repartitionByRange(partitions, cluster, F.col(order_cols[0]))
         .sortWithinPartitions("logtype_id", *order_cols)
         .write.mode("overwrite")
-        .parquet(path)
     )
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(path)
 
 
 def sink_counts(encoded: DataFrame) -> DataFrame:

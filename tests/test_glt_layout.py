@@ -78,3 +78,35 @@ def test_glt_combine_threshold(spark, transcripts, tmp_path):
         .select("_f").distinct().count()
     )
     assert n_hot_files <= 3
+
+
+def test_glt_row_group_sizing(spark, transcripts, tmp_path):
+    """row_group_bytes bounds parquet row-group size so a hot logtype's
+    few clustered files still admit many scan tasks (the Spark-native
+    form of CLP's bounded segment sizing) — and each group stays
+    logtype-narrow, so min/max skipping gets FINER, not coarser."""
+    import pyarrow.parquet as pq
+
+    enc, lt, vd = encode_pipeline.encode(
+        transcripts, key_cols=["conv_id", "turn_idx"]
+    )
+    path = str(tmp_path / "glt_rg")
+    route.write_glt_layout(enc, path, partitions=2,
+                           row_group_bytes=64 * 1024)
+    files = [f"{path}/{f}" for f in os.listdir(path) if f.endswith(".parquet")]
+    metas = [pq.ParquetFile(f).metadata for f in files]
+    assert sum(m.num_row_groups for m in metas) > len(files), (
+        "row_group_bytes should yield multiple row groups per file"
+    )
+    assert spark.read.parquet(path).count() == enc.count()
+
+    # per-group logtype_id ranges stay narrow: the sort puts each group
+    # on a contiguous ID run, so group-level min/max stats can skip
+    # groups inside a file, not just whole files
+    lt_idx = [c.name for c in
+              pq.ParquetFile(files[0]).schema_arrow].index("logtype_id")
+    n_ids = enc.select("logtype_id").distinct().count()
+    for m in metas:
+        for g in range(m.num_row_groups):
+            st = m.row_group(g).column(lt_idx).statistics
+            assert st is not None and st.max - st.min <= max(1, n_ids // 2)
