@@ -21,7 +21,7 @@ def test_oracle_sql_mentions_only_registered_views():
     }
     ctes = {
         "h", "sh", "pairs", "sig", "q", "lines", "cells", "a", "probe",
-        "reps", "nd", "bad",
+        "reps", "nd", "bad", "edges", "reach",
     }
     for name, sql in entry.oracle_sql().items():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))
