@@ -6,12 +6,14 @@ deterministic outputs) is real and tested. Codec coverage — all pure
 numpy/stdlib, no external media library: BI_RGB 24/32-bit BMP
 (:func:`decode_bmp`), non-interlaced 8-bit PNG via zlib inflate +
 numpy unfiltering (:func:`decode_png`), baseline sequential JPEG with
-canonical Huffman + IDCT + 4:2:0 upsampling (:func:`decode_jpeg`),
-PCM/float/G.711-mu-law/A-law WAV (:func:`decode_wav`), and
-uncompressed 24-bit RIFF/AVI video (:func:`decode_avi`, real frame
-extraction in frame_features) — every modality's ``fake=False`` path
-is exercised end-to-end on real bytes. Remaining formats (progressive
-JPEG, MP3/AAC, compressed video codecs) raise NotImplementedError
+canonical Huffman + IDCT + 4:2:0 upsampling (:func:`decode_jpeg`,
+including table-less MJPEG streams via the ITU T.81 Annex K.3 default
+tables), PCM/float/G.711-mu-law/A-law WAV (:func:`decode_wav`), and
+RIFF/AVI video — both uncompressed 24-bit DIB and Motion-JPEG frames
+(:func:`decode_avi`, real frame extraction in frame_features) — every
+modality's ``fake=False`` path is exercised end-to-end on real bytes.
+Remaining formats (progressive JPEG, MP3/AAC, inter-frame video
+codecs) raise NotImplementedError
 unless ``fake=True``, which substitutes a deterministic
 content-hash-seeded decoder so downstream feature/resize/frame-sample
 operators stay testable.
@@ -241,15 +243,82 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
+# ITU T.81 Annex K.3 "typical" Huffman tables, (class, id) -> (BITS
+# counts for code lengths 1..16, HUFFVAL symbol bytes). Motion-JPEG
+# streams conventionally omit DHT segments entirely and assume exactly
+# these tables (id 0 = luminance, id 1 = chrominance) — the same
+# convention libjpeg's std_huff_tables encodes.
+_JPEG_STD_HUFF_SPEC: dict[tuple[int, int], tuple[list[int], bytes]] = {
+    (0, 0): (  # DC luminance
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        bytes(range(12)),
+    ),
+    (0, 1): (  # DC chrominance
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        bytes(range(12)),
+    ),
+    (1, 0): (  # AC luminance
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        bytes.fromhex(
+            "01020300041105122131410613516107227114328191a1082342b1c115"
+            "52d1f02433627282090a161718191a25262728292a3435363738393a43"
+            "4445464748494a535455565758595a636465666768696a737475767778"
+            "797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2"
+            "b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3"
+            "e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+        ),
+    ),
+    (1, 1): (  # AC chrominance
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        bytes.fromhex(
+            "000102031104052131061241510761711322328108144291a1b1c10923"
+            "3352f0156272d10a162434e125f11718191a262728292a35363738393a"
+            "434445464748494a535455565758595a636465666768696a7374757677"
+            "78797a82838485868788898a92939495969798999aa2a3a4a5a6a7a8a9"
+            "aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2"
+            "e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9fa"
+        ),
+    ),
+}
+_jpeg_std_huff_cache: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+
+
+def _std_huff_table(cls: int, tid: int) -> dict[tuple[int, int], int]:
+    """Canonical decode table for an Annex K.3 default Huffman table."""
+    key = (cls, tid)
+    cached = _jpeg_std_huff_cache.get(key)
+    if cached is not None:
+        return cached
+    if key not in _JPEG_STD_HUFF_SPEC:
+        raise ValueError(
+            f"JPEG scan references undefined Huffman table {key} with no "
+            "Annex-K default (ids 0/1 only)"
+        )
+    counts, syms = _JPEG_STD_HUFF_SPEC[key]
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = syms[k]
+            code += 1
+            k += 1
+        code <<= 1
+    _jpeg_std_huff_cache[key] = table
+    return table
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Pure-numpy baseline JPEG decoder (ITU-T T.81 sequential DCT,
     SOF0): marker walk, canonical Huffman tables, per-MCU block decode
     (DC diff + AC run/size with EOB/ZRL), dequantize, un-zigzag,
     orthonormal IDCT, nearest-neighbor chroma upsample for subsampled
     scans, BT.601 YCbCr->RGB. Returns (h, w, 3) uint8 RGB (grayscale
-    replicates to 3 channels). Progressive (SOF2) and arithmetic-coded
-    JPEGs raise NotImplementedError — baseline covers the overwhelming
-    majority of real files."""
+    replicates to 3 channels). A scan referencing a Huffman table id
+    0/1 that no DHT segment defined falls back to the ITU T.81 Annex
+    K.3 defaults — the Motion-JPEG convention, where streams carry no
+    DHT at all. Progressive (SOF2) and arithmetic-coded JPEGs raise
+    NotImplementedError — baseline covers the overwhelming majority of
+    real files."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -333,6 +402,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
         for c in comps
     ]
+    comp_tables = [
+        (
+            huff.get((0, dc_t)) or _std_huff_table(0, dc_t),
+            huff.get((1, ac_t)) or _std_huff_table(1, ac_t),
+        )
+        for dc_t, ac_t in scan_comp_tables
+    ]
     reader = _BitReader(scan_data)
     pred = [0] * len(comps)
     mcu_count = 0
@@ -342,18 +418,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 reader.skip_restart()
                 pred = [0] * len(comps)
             for ci, comp in enumerate(comps):
-                dc_t, ac_t = scan_comp_tables[ci]
+                dc_tbl, ac_tbl = comp_tables[ci]
                 quant = qt[comp["qt"]]
                 for by in range(comp["vs"]):
                     for bx in range(comp["hs"]):
                         zz = np.zeros(64, dtype=np.int32)
-                        s = _huff_decode(reader, huff[(0, dc_t)])
+                        s = _huff_decode(reader, dc_tbl)
                         diff = _jpeg_extend(reader.receive(s), s)
                         pred[ci] += diff
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, huff[(1, ac_t)])
+                            rs = _huff_decode(reader, ac_tbl)
                             r, size = rs >> 4, rs & 0x0F
                             if size == 0:
                                 if r == 15:  # ZRL
@@ -477,12 +553,17 @@ def image_resize_features(
 
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
-    """Pure-numpy decoder for uncompressed (BI_RGB 24-bit DIB) RIFF/AVI:
-    walks the RIFF/LIST chunk tree, reads frame timing from ``avih``,
-    the video stream format from the ``strf`` following a ``vids``
-    ``strh``, and every ``..db``/``..dc`` frame chunk from ``movi`` —
-    each frame is BMP-style pixel data (bottom-up, 4-byte row padding,
-    BGR). Returns ``(frames (n, h, w, 3) uint8 RGB, fps)``."""
+    """Pure-numpy decoder for RIFF/AVI video: walks the RIFF/LIST chunk
+    tree, reads frame timing from ``avih``, the video stream format
+    from the ``strf`` following a ``vids`` ``strh``, and every
+    ``..db``/``..dc`` frame chunk from ``movi``. Two codecs decode:
+    uncompressed BI_RGB 24-bit DIB (each frame is BMP-style pixel data
+    — bottom-up, 4-byte row padding, BGR) and Motion-JPEG (``MJPG``/
+    ``dmb1`` FOURCC; each frame chunk is an independent baseline JPEG,
+    typically DHT-less per the MJPEG convention — :func:`decode_jpeg`
+    supplies the Annex K.3 defaults). Inter-frame codecs raise
+    NotImplementedError. Returns ``(frames (n, h, w, 3) uint8 RGB,
+    fps)``."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     info = {"w": None, "h": None, "bits": None, "comp": None,
@@ -517,8 +598,28 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     w, h, bits, comp = info["w"], info["h"], info["bits"], info["comp"]
     if w is None or not frame_spans:
         raise ValueError("AVI missing video stream format / frames")
+    fps = 1e6 / info["uspf"] if info["uspf"] else 25.0
+    if int(comp).to_bytes(4, "little").upper() in (b"MJPG", b"DMB1"):
+        decoded = []
+        for i, (off, size) in enumerate(frame_spans):
+            frame = decode_jpeg(bytes(payload[off : off + size]))
+            if decoded and frame.shape != decoded[0].shape:
+                raise ValueError(
+                    f"MJPEG frame {i} shape {frame.shape} != frame 0 "
+                    f"shape {decoded[0].shape}"
+                )
+            decoded.append(frame)
+        frames = np.stack(decoded)
+        if frames.shape[2] != w or frames.shape[1] != abs(h):
+            raise ValueError(
+                f"MJPEG frame size {frames.shape[2]}x{frames.shape[1]} "
+                f"!= strf {w}x{abs(h)}"
+            )
+        return frames, fps
     if comp != 0 or bits != 24:
-        raise NotImplementedError("only uncompressed 24-bit BI_RGB AVI")
+        raise NotImplementedError(
+            "only uncompressed 24-bit BI_RGB and MJPG AVI decode"
+        )
     hh, bottom_up = abs(h), h > 0
     stride = (w * 3 + 3) & ~3
     frames = np.empty((len(frame_spans), hh, w, 3), dtype=np.uint8)
@@ -536,7 +637,6 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
         if bottom_up:
             px = px[::-1]
         frames[i] = px[:, :, ::-1]  # BGR -> RGB
-    fps = 1e6 / info["uspf"] if info["uspf"] else 25.0
     return frames, fps
 
 

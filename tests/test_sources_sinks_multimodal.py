@@ -536,6 +536,62 @@ def _avi_bytes(frames: "np.ndarray", fps: float) -> bytes:
     return chunk(b"RIFF", b"AVI " + hdrl + lst(b"movi", movi_frames))
 
 
+def _avi_mjpeg_bytes(jpegs: list, w: int, h: int, fps: float) -> bytes:
+    """Hand-assemble a Motion-JPEG RIFF/AVI: each movi chunk is an
+    independent baseline JPEG payload, strf compression = 'MJPG'."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", int(1e6 / fps), 0, 0, 0, len(jpegs), 0, 1,
+                       0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"\0" * 52
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       int.from_bytes(b"MJPG", "little"), 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = b"".join(chunk(b"00dc", j) for j in jpegs)
+    return chunk(b"RIFF", b"AVI " + hdrl + lst(b"movi", movi))
+
+
+def test_mjpeg_avi_decodes_with_standard_tables():
+    """Motion-JPEG: DHT-less baseline JPEG frames (the MJPEG stream
+    convention) decode bit-exactly via the ITU T.81 Annex K.3 default
+    tables, both standalone and wrapped in an AVI with the MJPG FOURCC
+    (mixed 4:4:4 / 4:2:0 frames, odd-length chunk padding exercised)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    jpegs, exps = [], []
+    for k in range(3):
+        px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        payload, exp = _jpeg_bytes(px, subsample=(k == 1),
+                                   std_tables=True, emit_dht=False)
+        header = payload.split(b"\xff\xda")[0]
+        assert b"\xff\xc4" not in header  # truly no DHT segment
+        jpegs.append(payload)
+        exps.append(exp)
+
+    # standalone: the decoder falls back to the K.3 tables
+    assert np.array_equal(multimodal.decode_jpeg(jpegs[0]), exps[0])
+    # std tables WITH DHT emitted must round-trip identically too
+    with_dht, exp_dht = _jpeg_bytes(
+        np.asarray(exps[0]), std_tables=True, emit_dht=True)
+    assert np.array_equal(multimodal.decode_jpeg(with_dht), exp_dht)
+
+    got, fps = multimodal.decode_avi(
+        _avi_mjpeg_bytes(jpegs, w=24, h=16, fps=12.5))
+    assert fps == 12.5
+    assert got.shape == (3, 16, 24, 3)
+    for k in range(3):
+        assert np.array_equal(got[k], exps[k]), f"frame {k} mismatch"
+
+
 def test_avi_decodes_and_real_frame_features(spark):
     """decode_avi inverts the container+DIB layout on real bytes, and
     frame_features with fake_decode=False extracts the REAL frame at
@@ -570,15 +626,19 @@ def test_avi_decodes_and_real_frame_features(spark):
 
 
 def _jpeg_bytes(px: "np.ndarray", subsample: bool = False,
-                restart_interval: int = 0):
+                restart_interval: int = 0, std_tables: bool = False,
+                emit_dht: bool = True):
     """Hand-assemble a baseline JPEG (SOF0) from an (h, w, 3) uint8 RGB
     array: BT.601 color convert, optional 2x2 chroma subsampling, 8x8
     orthonormal DCT, quantize (flat table, zigzag order), canonical
-    single-length Huffman tables built from the emitted symbol sets.
-    Returns (payload, expected_rgb) where expected_rgb is the exact
-    reconstruction from the quantized coefficients via the decoder's own
-    arithmetic — so the decode test validates the marker/Huffman/
-    bitstream layers bit-for-bit."""
+    single-length Huffman tables built from the emitted symbol sets —
+    or, with ``std_tables``, the ITU T.81 Annex K.3 defaults (luma
+    tables for component 1, chroma tables for 2/3), optionally with NO
+    DHT segments at all (``emit_dht=False``, the Motion-JPEG stream
+    convention). Returns (payload, expected_rgb) where expected_rgb is
+    the exact reconstruction from the quantized coefficients via the
+    decoder's own arithmetic — so the decode test validates the
+    marker/Huffman/bitstream layers bit-for-bit."""
     import struct
 
     import numpy as np
@@ -653,12 +713,12 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False,
                 # T.81 restart boundary: pad to byte, emit RSTn (mod 8),
                 # reset DC prediction
                 pred = [0, 0, 0]
-                yield ("rst", (mcu // restart_interval - 1) % 8, 0, 0)
+                yield ("rst", (mcu // restart_interval - 1) % 8, 0, 0, ci)
             prev_mcu = mcu
             diff = int(zz[0]) - pred[ci]
             pred[ci] = int(zz[0])
             s = bitlen(abs(diff))
-            yield ("dc", s, diff, s)
+            yield ("dc", s, diff, s, ci)
             k, run = 1, 0
             while k < 64:
                 v = int(zz[k])
@@ -666,27 +726,56 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False,
                     run += 1
                 else:
                     while run > 15:
-                        yield ("ac", 0xF0, 0, 0)
+                        yield ("ac", 0xF0, 0, 0, ci)
                         run -= 16
                     size = bitlen(abs(v))
-                    yield ("ac", (run << 4) | size, v, size)
+                    yield ("ac", (run << 4) | size, v, size, ci)
                     run = 0
                 k += 1
             if run:
-                yield ("ac", 0x00, 0, 0)
+                yield ("ac", 0x00, 0, 0, ci)
 
-    dc_syms = sorted({s for kind, s, _, _ in sym_stream() if kind == "dc"})
-    ac_syms = sorted({s for kind, s, _, _ in sym_stream() if kind == "ac"})
+    if std_tables:
+        # encode against the decoder's own Annex K.3 canonical tables,
+        # inverted to sym -> (length, code); chroma components use the
+        # id-1 tables, as the K.3 convention (and every MJPEG encoder)
+        # does
+        def inv(cls, tid):
+            return {
+                sym: (length, code)
+                for (length, code), sym in
+                multimodal._std_huff_table(cls, tid).items()
+            }
 
-    def canon(syms):
-        L = max(2, (len(syms)).bit_length() + 1)  # 2^L > N, all-ones free
-        counts = [0] * 16
-        counts[L - 1] = len(syms)
-        codes = {s: (L, i) for i, s in enumerate(syms)}
-        return counts, codes
+        codes = {("dc", 0): inv(0, 0), ("ac", 0): inv(1, 0),
+                 ("dc", 1): inv(0, 1), ("ac", 1): inv(1, 1)}
+        comp_tid = [0, 1, 1]
+        dht_segs = [
+            (bytes([(cls << 4) | tid]) + bytes(counts) + syms)
+            for (cls, tid), (counts, syms)
+            in sorted(multimodal._JPEG_STD_HUFF_SPEC.items())
+        ] if emit_dht else []
+    else:
+        all_syms = list(sym_stream())
+        dc_syms = sorted({s for kind, s, _, _, _ in all_syms if kind == "dc"})
+        ac_syms = sorted({s for kind, s, _, _, _ in all_syms if kind == "ac"})
 
-    dc_counts, dc_codes = canon(dc_syms)
-    ac_counts, ac_codes = canon(ac_syms)
+        def canon(syms):
+            L = max(2, (len(syms)).bit_length() + 1)  # 2^L > N, all-ones free
+            counts = [0] * 16
+            counts[L - 1] = len(syms)
+            codes = {s: (L, i) for i, s in enumerate(syms)}
+            return counts, codes
+
+        dc_counts, dc_codes = canon(dc_syms)
+        ac_counts, ac_codes = canon(ac_syms)
+        codes = {("dc", 0): dc_codes, ("ac", 0): ac_codes,
+                 ("dc", 1): dc_codes, ("ac", 1): ac_codes}
+        comp_tid = [0, 0, 0]
+        dht_segs = [
+            b"\x00" + bytes(dc_counts) + bytes(dc_syms),
+            b"\x10" + bytes(ac_counts) + bytes(ac_syms),
+        ]
 
     out = bytearray()
     bitbuf, nbits = 0, 0
@@ -702,14 +791,14 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False,
             if byte == 0xFF:
                 out.append(0x00)
 
-    for kind, s, v, size in sym_stream():
+    for kind, s, v, size, ci in sym_stream():
         if kind == "rst":
             if nbits:
                 pad = 8 - nbits
                 put((1 << pad) - 1, pad)
             out += bytes([0xFF, 0xD0 + s])
             continue
-        L, c = (dc_codes if kind == "dc" else ac_codes)[s]
+        L, c = codes[(kind, comp_tid[ci])][s]
         put(c, L)
         if size:
             put(v if v >= 0 else v + (1 << size) - 1, size)
@@ -725,15 +814,17 @@ def _jpeg_bytes(px: "np.ndarray", subsample: bool = False,
         bytes([i + 1, (hs << 4) | vs, 0])
         for i, (_, hs, vs) in enumerate(padded)
     )
+    sos_comps = b"".join(
+        bytes([i + 1, (comp_tid[i] << 4) | comp_tid[i]]) for i in range(3)
+    )
     payload = (
         b"\xff\xd8"
         + seg(0xDB, b"\x00" + bytes(int(x) for x in q))
         + seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
-        + seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms))
-        + seg(0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms))
+        + b"".join(seg(0xC4, body) for body in dht_segs)
         + (seg(0xDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")
-        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0]))
         + data
         + b"\xff\xd9"
     )
