@@ -8,7 +8,8 @@ numpy/stdlib, no external media library: BI_RGB 24/32-bit BMP
 numpy unfiltering (:func:`decode_png`), baseline sequential JPEG with
 canonical Huffman + IDCT + 4:2:0 upsampling (:func:`decode_jpeg`,
 including table-less MJPEG streams via the ITU T.81 Annex K.3 default
-tables), PCM/float/G.711-mu-law/A-law WAV (:func:`decode_wav`), and
+tables), PCM/float/G.711-mu-law/A-law/IMA-ADPCM WAV
+(:func:`decode_wav`), and
 RIFF/AVI video — both uncompressed 24-bit DIB and Motion-JPEG frames
 (:func:`decode_avi`, real frame extraction in frame_features) — every
 modality's ``fake=False`` path is exercised end-to-end on real bytes.
@@ -736,11 +737,91 @@ def frame_features(
     )
 
 
+# IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", the same tables every implementation
+# ships): 89-entry step sizes + 8-entry step-index adaptation.
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _decode_ima_adpcm(
+    data: bytes, n_channels: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM (WAV format tag 0x11) to interleaved int16 frames.
+
+    Blocks are independent — each starts with a per-channel 4-byte
+    header (predictor int16, step index uint8) that resets the decoder
+    state — so the sample-index recurrence is the ONLY sequential
+    dimension: the loop below runs samples-per-block (~2k) iterations
+    of numpy ops vectorized over every (block, channel) at once, the
+    same batch shape the Arrow-batched kernels use elsewhere.
+    """
+    c = n_channels
+    if block_align <= 4 * c or (block_align - 4 * c) % (4 * c):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    n_full, rem = divmod(len(data), block_align)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    # pad a trailing partial block (its undecodable tail trims below)
+    if rem:
+        raw = np.concatenate([
+            raw, np.zeros(block_align - rem, dtype=np.uint8)])
+    n_blocks = n_full + (1 if rem else 0)
+    if n_blocks == 0:
+        return np.zeros(0, dtype=np.int16)
+    blocks = raw.reshape(n_blocks, block_align)
+
+    hdr = blocks[:, : 4 * c].reshape(n_blocks, c, 4).astype(np.int64)
+    pred = ((hdr[:, :, 0] | (hdr[:, :, 1] << 8)) ^ 0x8000) - 0x8000  # int16
+    step_idx = np.clip(hdr[:, :, 2], 0, 88)
+
+    # data area: 4-byte sub-blocks round-robin the channels; low nibble
+    # of each byte is the earlier sample
+    body = blocks[:, 4 * c :].reshape(n_blocks, -1, c, 4)
+    nib = np.empty(body.shape[:2] + (c, 8), dtype=np.int64)
+    nib[..., 0::2] = body & 0x0F
+    nib[..., 1::2] = (body >> 4) & 0x0F
+    # (blocks, channels, samples-after-header)
+    nib = nib.transpose(0, 2, 1, 3).reshape(n_blocks, c, -1)
+
+    spb = nib.shape[2] + 1  # samples per block per channel
+    out = np.empty((n_blocks, c, spb), dtype=np.int64)
+    out[:, :, 0] = pred
+    for s in range(1, spb):
+        delta = nib[:, :, s - 1]
+        step = _IMA_STEP_TABLE[step_idx]
+        vpdiff = step >> 3
+        vpdiff += np.where(delta & 4, step, 0)
+        vpdiff += np.where(delta & 2, step >> 1, 0)
+        vpdiff += np.where(delta & 1, step >> 2, 0)
+        pred = pred + np.where(delta & 8, -vpdiff, vpdiff)
+        pred = np.clip(pred, -32768, 32767)
+        step_idx = np.clip(step_idx + _IMA_INDEX_TABLE[delta & 7], 0, 88)
+        out[:, :, s] = pred
+    if rem:
+        # the padded tail of the last block never existed on disk
+        real = ((rem - 4 * c) * 2) // c + 1 if rem > 4 * c else 0
+        full = out[:-1].transpose(0, 2, 1).reshape(-1, c)
+        last = out[-1:, :, :real].transpose(0, 2, 1).reshape(-1, c)
+        frames = np.concatenate([full, last])
+    else:
+        frames = out.transpose(0, 2, 1).reshape(-1, c)
+    return frames.reshape(-1).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Pure-numpy RIFF/WAVE decoder: walks the chunk list, reads the fmt
-    chunk (PCM=1 at 8/16-bit, IEEE-float=3 at 32-bit) and the data chunk;
-    multi-channel audio downmixes by mean. Returns (float32 waveform in
-    [-1, 1], sample_rate)."""
+    chunk (PCM=1 at 8/16-bit, IEEE-float=3 at 32-bit, G.711=6/7, IMA
+    ADPCM=0x11) and the data chunk; multi-channel audio downmixes by
+    mean. Returns (float32 waveform in [-1, 1], sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = data = None
@@ -787,6 +868,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             mag = np.where(exp == 0, (mant << 4) + 8, shifted)
             pcm = sign * mag
         wave = (pcm / 32768.0).astype(np.float32)
+    elif audio_format == 0x11 and bits == 4:
+        block_align = int.from_bytes(fmt[12:14], "little")
+        pcm16 = _decode_ima_adpcm(data, n_channels, block_align)
+        wave = pcm16.astype(np.float32) / 32768.0
     else:
         raise NotImplementedError(f"unsupported WAV encoding {audio_format}/{bits}")
     if n_channels > 1:
@@ -796,10 +881,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(payload: bytes, num_samples: int, fake: bool = False) -> np.ndarray:
-    """Codec boundary (same contract as decode_image): real PCM/float WAV
-    decodes in pure numpy; compressed formats need an audio library;
-    ``fake=True`` derives a deterministic float32 waveform in [-1, 1]
-    from the payload hash."""
+    """Codec boundary (same contract as decode_image): real PCM/float/
+    G.711/IMA-ADPCM WAV decodes in pure numpy; perceptual codecs
+    (MP3/AAC) need an audio library; ``fake=True`` derives a
+    deterministic float32 waveform in [-1, 1] from the payload hash."""
     if not fake and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         wave, _rate = decode_wav(payload)
         return wave

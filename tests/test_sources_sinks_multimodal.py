@@ -503,6 +503,97 @@ def test_g711_wav_decodes_known_code_points():
     assert got == [-8, 8, -32256]
 
 
+def test_ima_adpcm_wav_decodes_for_real():
+    """IMA ADPCM WAV (fmt tag 0x11): the vectorized block decoder must
+    match a scalar reference decode of the same nibble stream bit-exactly
+    — mono with a trailing partial block, and stereo with round-robin
+    4-byte channel sub-blocks (downmixed by mean like every other
+    multi-channel path)."""
+    import struct
+
+    import numpy as np
+
+    step_t = multimodal._IMA_STEP_TABLE
+    idx_t = multimodal._IMA_INDEX_TABLE
+
+    def scalar_decode(data: bytes, c: int, ba: int) -> np.ndarray:
+        chans: list[list[int]] = [[] for _ in range(c)]
+        for off in range(0, len(data), ba):
+            block = data[off : off + ba]
+            pred, idx = [], []
+            for ch in range(c):
+                p = int.from_bytes(block[4 * ch : 4 * ch + 2], "little", signed=True)
+                i = min(max(block[4 * ch + 2], 0), 88)
+                pred.append(p)
+                idx.append(i)
+                chans[ch].append(p)
+            body = block[4 * c :]
+            for g in range(0, len(body), 4 * c):
+                for ch in range(c):
+                    for b in body[g + 4 * ch : g + 4 * ch + 4]:
+                        for nib in (b & 0xF, b >> 4):
+                            step = int(step_t[idx[ch]])
+                            diff = step >> 3
+                            if nib & 4:
+                                diff += step
+                            if nib & 2:
+                                diff += step >> 1
+                            if nib & 1:
+                                diff += step >> 2
+                            p = pred[ch] + (-diff if nib & 8 else diff)
+                            pred[ch] = max(-32768, min(32767, p))
+                            idx[ch] = max(0, min(88, idx[ch] + int(idx_t[nib & 7])))
+                            chans[ch].append(pred[ch])
+        n = len(chans[0])
+        out = np.empty(n * c, dtype=np.int16)
+        for ch in range(c):
+            out[ch :: c] = chans[ch]
+        return out
+
+    def wav(data: bytes, c: int, ba: int) -> bytes:
+        fmt = struct.pack("<HHIIHH", 0x11, c, 8000, 4000 * c, ba, 4)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.default_rng(7)
+
+    # mono, block_align 36 (32 data bytes = 64 samples/block), three full
+    # blocks plus a 16-byte partial block (header + 12 data bytes = 25
+    # decodable samples whose padded tail must be trimmed)
+    mono = bytearray()
+    for _ in range(3):
+        mono += struct.pack("<hBB", int(rng.integers(-2000, 2000)),
+                            int(rng.integers(0, 89)), 0)
+        mono += bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
+    mono += struct.pack("<hBB", int(rng.integers(-2000, 2000)),
+                        int(rng.integers(0, 89)), 0)
+    mono += bytes(rng.integers(0, 256, size=12, dtype=np.uint8))
+
+    got, rate = multimodal.decode_wav(wav(bytes(mono), 1, 36))
+    assert rate == 8000
+    want = scalar_decode(bytes(mono), 1, 36).astype(np.float32) / 32768.0
+    assert got.shape == want.shape == (3 * 65 + 25,)
+    np.testing.assert_array_equal(got, want)
+
+    # stereo, block_align 24 (16 data bytes = 8 bytes = 16 samples per
+    # channel per block, plus the header predictor), two full blocks
+    st = bytearray()
+    for _ in range(2):
+        for _ch in range(2):
+            st += struct.pack("<hBB", int(rng.integers(-2000, 2000)),
+                              int(rng.integers(0, 89)), 0)
+        st += bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
+
+    got2, _ = multimodal.decode_wav(wav(bytes(st), 2, 24))
+    want2 = scalar_decode(bytes(st), 2, 24)
+    want2 = (want2.reshape(-1, 2).astype(np.float32) / 32768.0).mean(axis=1)
+    assert got2.shape == want2.shape == (2 * 17,)
+    np.testing.assert_allclose(got2, want2, rtol=0, atol=1e-7)
+
+
 def _avi_bytes(frames: "np.ndarray", fps: float) -> bytes:
     """Hand-assemble an uncompressed 24-bit BI_RGB RIFF/AVI from an
     (n, h, w, 3) uint8 RGB array — bottom-up padded BGR DIB frames in a
