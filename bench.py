@@ -211,11 +211,16 @@ def at_rest_bench(spark, input_path: str) -> dict:
     }
     out: dict = {}
     for layout, path in (("glt", glt_path), ("flat", flat_path)):
-        df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
-        stats: dict = {"files_total": len(spark.read.parquet(path).inputFiles())}
+        # timed legs scan the BARE parquet relation: a projected
+        # input_file_name() blocks parquet filter pushdown entirely
+        # (the scan plans with DataFilters: [] under the
+        # nondeterministic project), which would disable exactly the
+        # logtype_id min/max pruning this A/B exists to measure
+        df = spark.read.parquet(path)
+        stats: dict = {"files_total": len(df.inputFiles())}
         for qname in queries:
             hits = search_op.search(
-                df, lt2, vd2, compiled[qname], keys, select_cols=["_f"]
+                df, lt2, vd2, compiled[qname], keys, select_cols=keys
             )
             best, n = None, 0
             for _ in range(2):
@@ -225,8 +230,16 @@ def at_rest_bench(spark, input_path: str) -> dict:
                 best = dt if best is None else min(best, dt)
             stats[f"{qname}_sec"] = round(best, 3)
             stats[f"{qname}_hits"] = n
+            # pruning evidence, untimed: re-plan with the file column
+            # (pushdown lost here, but only hit-locations matter)
+            with_f = spark.read.parquet(path).withColumn(
+                "_f", F.input_file_name()
+            )
             stats[f"{qname}_files_hit"] = (
-                hits.select("_f").distinct().count()
+                search_op.search(
+                    with_f, lt2, vd2, compiled[qname], keys,
+                    select_cols=["_f"],
+                ).select("_f").distinct().count()
             )
         out[layout] = stats
     for qname in queries:
