@@ -86,7 +86,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure stdlib-zlib + numpy decoder for non-interlaced 8-bit PNG
-    (color types 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA): chunk walk,
+    (color types 0 gray / 2 RGB / 3 palette incl. tRNS / 4 gray+alpha /
+    6 RGBA): chunk walk,
     IDAT concatenation + zlib inflate, then per-scanline unfiltering
     (None/Sub/Up/Average/Paeth). Sub rows vectorize as per-lane
     cumulative sums; Average/Paeth rows fall back to a per-byte loop
@@ -97,7 +98,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
-    ihdr = None
+    ihdr = plte = trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
@@ -105,6 +106,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -115,11 +120,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # palette images carry 1 index byte/pixel through the filter stage
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if bit_depth != 8 or nch is None or interlace != 0:
         raise NotImplementedError(
-            "only non-interlaced 8-bit gray/RGB/GA/RGBA PNG decodes here"
+            "only non-interlaced 8-bit gray/RGB/palette/GA/RGBA PNG decodes here"
         )
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/malformed PLTE")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     rowlen = width * nch
     if len(raw) < height * (rowlen + 1):
@@ -157,6 +165,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = rec
         prev = rec
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(height, width)
+        if idx.max() >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]  # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+        return rgb
     return out.reshape(height, width, nch)
 
 

@@ -476,6 +476,56 @@ def test_png_interlaced_and_16bit_rejected():
         multimodal.decode_png(hdr(8, 2, 1))
 
 
+def test_png_palette_decodes_with_trns():
+    """Color-type-3 PNG: indices flow through the filter stage (Sub rows
+    included) and map through PLTE; a tRNS chunk adds per-entry alpha
+    (entries past its length default opaque)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.randint(0, 7, size=(5, 4), dtype=np.uint8)
+    raw = bytearray()
+    for y in range(5):
+        row = idx[y]
+        if y % 2:  # Sub filter over the 1-byte index lane
+            filt = np.diff(row.astype(np.int16), prepend=np.int16(0)) & 0xFF
+            raw += bytes([1]) + filt.astype(np.uint8).tobytes()
+        else:
+            raw += bytes([0]) + row.tobytes()
+    sig_ihdr = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 3, 0, 0, 0)
+    )
+    idat_iend = chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    got = multimodal.decode_png(sig_ihdr + chunk(b"PLTE", pal.tobytes()) + idat_iend)
+    assert got.shape == (5, 4, 3)
+    assert (got == pal[idx]).all()
+
+    trns = bytes([10, 20, 30])
+    got_a = multimodal.decode_png(
+        sig_ihdr + chunk(b"PLTE", pal.tobytes()) + chunk(b"tRNS", trns) + idat_iend
+    )
+    assert got_a.shape == (5, 4, 4)
+    assert (got_a[..., :3] == pal[idx]).all()
+    alpha = np.full(7, 255, dtype=np.uint8)
+    alpha[:3] = [10, 20, 30]
+    assert (got_a[..., 3] == alpha[idx]).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # palette image without PLTE
+        multimodal.decode_png(sig_ihdr + idat_iend)
+
+
 def test_g711_wav_decodes_known_code_points():
     """G.711 mu-law/A-law WAV: the closed-form companding inverse hits
     the ITU-T table's known code points exactly (mu-law 0x00 -> -32124,
