@@ -285,6 +285,24 @@ def _q_roundtrip_docs(spark, sf_dir):
     return dec.select("doc_id", F.col("decoded_text").alias("text"))
 
 
+def _q_roundtrip_text(spark, sf_dir):
+    """Consolidated roundtrip row (driver keeps 50 query slots): the
+    documents-corpus and floats-corpus decode roundtrips union into one
+    corpus-tagged result — coverage identical to the former
+    clp_roundtrip_docs + clp_roundtrip_floats pair."""
+    d = _q_roundtrip_docs(spark, sf_dir).select(
+        F.lit("documents").alias("corpus"),
+        F.col("doc_id").alias("rec_id"),
+        "text",
+    )
+    fl = _q_roundtrip_floats(spark, sf_dir).select(
+        F.lit("floats").alias("corpus"),
+        F.col("event_id").alias("rec_id"),
+        "text",
+    )
+    return d.unionByName(fl)
+
+
 def _q_roundtrip_events(spark, sf_dir):
     enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
     dec = encode_pipeline.decode(
@@ -1052,9 +1070,17 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(d, pairs)
 
 
+def _q_dedup_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-span detection (token-window exact-substring
+    dedup): maximal spans whose every 8-token window recurs verbatim in
+    >= 2 distinct documents."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "clp_roundtrip_docs": _q_roundtrip_docs,
+        "clp_roundtrip_text": _q_roundtrip_text,
         "clp_roundtrip_events": _q_roundtrip_events,
         "clp_search_token": _q_search_token,
         "clp_search_int": _q_search_int,
@@ -1062,7 +1088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_search_dictvar": _q_search_dictvar,
         "clp_search_broad_dictvar": _q_search_broad_dictvar,
         "clp_search_regex": _q_search_regex,
-        "clp_roundtrip_floats": _q_roundtrip_floats,
         "clp_search_float": _q_search_float,
         "clp_search_ignorecase": _q_search_ignorecase,
         "clp_logtype_counts": _q_logtype_counts,
@@ -1098,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_turn_gap": _q_window_gap,
         "clp_search_time_range": _q_search_time_range,
         "dedup_cluster_canonical": _q_dedup_clusters,
+        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "clp_search_count_by_time": _q_search_count_by_time,
         "clp_search_two_vars": _q_search_two_vars,
         "clp_schema_roundtrip": _q_schema_roundtrip,
@@ -1116,7 +1142,12 @@ def oracle_sql() -> dict[str, str]:
         " || ' props={\"k\": ' || chr(17) || '} ' || chr(18)"
     )
     return {
-        "clp_roundtrip_docs": "SELECT doc_id, text FROM documents",
+        "clp_roundtrip_text": (
+            "SELECT 'documents' AS corpus, doc_id AS rec_id, text"
+            " FROM documents UNION ALL"
+            f" SELECT 'floats' AS corpus, event_id AS rec_id,"
+            f" {_FLOAT_TEXT_SQL} AS text FROM events"
+        ),
         "clp_roundtrip_events": (
             f"SELECT event_id, {_EVENT_TEXT_SQL} AS text FROM events"
         ),
@@ -1146,9 +1177,6 @@ def oracle_sql() -> dict[str, str]:
         "clp_search_regex": (
             f"SELECT event_id FROM (SELECT event_id, {_EVENT_TEXT_SQL} AS t"
             " FROM events) WHERE t LIKE '%evt sig_up %'"
-        ),
-        "clp_roundtrip_floats": (
-            f"SELECT event_id, {_FLOAT_TEXT_SQL} AS text FROM events"
         ),
         "clp_search_float": (
             f"SELECT event_id FROM (SELECT event_id, {_FLOAT_TEXT_SQL} AS t"
@@ -1396,6 +1424,31 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
             " SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)"
             " SELECT id AS doc_id, min(r) AS canonical_id"
             " FROM reach GROUP BY id"
+        ),
+        # duplicate_spans twin: windows are the literal k-token strings
+        # (the Spark side groups on xxhash64 of the same string — the
+        # 64-bit-collision probabilistic contract); islands via
+        # pos - row_number, exactly the operator's plan
+        "dedup_duplicate_spans": (
+            "WITH toks AS ("
+            " SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+            " WHERE len(string_split(text, ' ')) >= 8),"
+            " w AS ("
+            " SELECT doc_id, pos,"
+            " array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS win"
+            " FROM (SELECT doc_id, t,"
+            " unnest(generate_series(0, len(t) - 8)) AS pos FROM toks)),"
+            " dup AS (SELECT win FROM w GROUP BY win"
+            " HAVING min(doc_id) <> max(doc_id)),"
+            " hits AS (SELECT doc_id, pos FROM w"
+            " WHERE win IN (SELECT win FROM dup)),"
+            " isl AS (SELECT doc_id, pos, pos - row_number()"
+            " OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits)"
+            " SELECT doc_id, min(pos) AS span_start,"
+            " max(pos) + 7 AS span_end,"
+            " max(pos) + 7 - min(pos) + 1 AS span_tokens,"
+            " count(*) AS n_windows"
+            " FROM isl GROUP BY doc_id, grp"
         ),
         "clp_search_count_by_time": (
             "SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ts,"

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -538,3 +539,95 @@ def near_dup_clusters(
         )
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN detection (sub-document granularity)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal token spans whose every length-``k`` window recurs
+    verbatim in at least one OTHER document — the token-window
+    formulation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    suffix-array pass their single-node tool runs is re-expressed as
+    the shuffle-friendly window-hash relation, which is how the
+    technique is actually distributed. Document-level exact dedup
+    (the reference's analog: dictionary-entry dedup,
+    clp/VariableDictionaryWriter.cpp:7-37) misses a boilerplate
+    paragraph pasted into thousands of otherwise-distinct pages; this
+    finds the paragraph itself.
+
+    Returns (id_col, span_start, span_end, span_tokens, n_windows),
+    0-based inclusive token offsets; a span is maximal — every one of
+    its ``n_windows`` consecutive k-token windows appears in >= 2
+    distinct documents, and the windows just outside it do not.
+
+    Plan (100 TB): the (id, pos, window-hash) relation is built
+    entirely JVM-side (sequence + transform + posexplode; the hash is
+    xxhash64 of the space-joined window, so 8 bytes + id + pos shuffle
+    — never text). Dup-hash build side: hash-shuffle groupBy marking
+    hashes spanning >= 2 distinct docs (min(id) != max(id): two-phase
+    agg with map-side partials, so a boilerplate window hot in millions
+    of docs partial-aggregates map-side — skew-proof, where the
+    single-shuffle Window.partitionBy(hash) alternative would funnel
+    the hot key into one sort partition). Probe side left-semi joins
+    the dup-hash set — AQE broadcasts it when small (the common case:
+    distinct duplicated windows << corpus windows), which makes the
+    probe shuffle-free; the window expansion then runs once per side,
+    a deliberate CPU-for-shuffle trade (persisting a corpus-scale
+    expansion is not an option at 100 TB). Finally ONE per-doc window
+    pass (gaps-and-islands: pos - row_number) merges runs of
+    consecutive duplicated windows into maximal spans; its fan-in is
+    bounded by document length. Cross-doc equality is by 64-bit hash —
+    the collision contract (~n^2 / 2^64) is the same probabilistic
+    trade the minhash/simhash family already makes.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token window is a token)")
+    slim = fan_out(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        ).filter(F.size(F.col("_toks")) >= k)
+    )
+    wins = slim.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))),
+            )
+        ).alias("_pos", "_wh"),
+    )
+    dup_hashes = (
+        wins.groupBy("_wh")
+        .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("_wh")
+    )
+    hits = wins.join(dup_hashes, "_wh", "left_semi").select("_id", "_pos")
+    win = W.partitionBy("_id").orderBy("_pos")
+    islands = hits.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(win)
+    )
+    return (
+        islands.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )

@@ -94,6 +94,15 @@ VERDICTS = {
         "clean — tree + schema-map projections union over the cached "
         "parse; both sides read metadata-scale relations"
     ),
+    "dedup_duplicate_spans": (
+        "clean — window hashes built JVM-side in one scan (8-byte "
+        "shuffle), min!=max two-phase agg, left-semi back-join, one "
+        "per-doc islands window"
+    ),
+    "clp_roundtrip_text": (
+        "clean — two broadcast-dict decode legs union; coverage twin of "
+        "the former docs+floats roundtrip pair"
+    ),
 }
 
 
@@ -175,6 +184,9 @@ def main() -> None:
         # round-5 single-pass boolean execution + consolidated metadata
         "clps_pure_or_search",
         "clps_schema_meta",
+        # round-5 exact-substring dedup + consolidated roundtrip
+        "dedup_duplicate_spans",
+        "clp_roundtrip_text",
     ]
     out = ["# PLANS — physical-plan audit of headline queries",
            "",

@@ -143,3 +143,63 @@ def test_near_dup_clusters_nonconvergence_raises(spark):
     got = {r["doc_id"]: r["canonical_id"]
            for r in dedup.near_dup_clusters(docs, chain, max_iters=10).collect()}
     assert set(got.values()) == {1}
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (exact-substring dedup, token-window formulation)
+
+
+BOILER = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, "intro one two three " + BOILER + " outro four five six"),
+        (1, "different start words here " + BOILER + " plus unrelated tail"),
+        (2, "standalone doc with entirely unique token content herein"),
+        (3, "standalone doc with entirely unique token content herein"),
+        # within-doc repetition ONLY -- must produce no span (>=2 DISTINCT docs)
+        (4, "loop turn loop turn loop turn loop turn loop turn loop turn"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_boilerplate(span_docs):
+    out = dedup.duplicate_spans(span_docs, k=4)
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"],
+            r["n_windows"],
+        )
+        for r in out.collect()
+    }
+    # boilerplate occupies tokens 4..11 in docs 0 and 1 (4-token prefixes);
+    # only windows fully inside it recur (context differs), so the maximal
+    # span is exactly the 8-token paragraph: 5 windows (starts 4..8)
+    assert spans[(0, 4, 11)] == (8, 5)
+    assert spans[(1, 4, 11)] == (8, 5)
+    # docs 2 and 3 are verbatim copies: the whole 8-token doc is one span
+    assert spans[(2, 0, 7)] == (8, 5)
+    assert spans[(3, 0, 7)] == (8, 5)
+    # doc 4 repeats windows only WITHIN itself; doc 5 is shorter than k
+    assert len(spans) == 4
+
+
+def test_duplicate_spans_split_by_edit(spark):
+    a = "zero one two three four five six seven eight nine ten eleven"
+    b = a.replace("five", "FIVE")  # one-token edit mid-document
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    out = dedup.duplicate_spans(df, k=3)
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in out.collect()
+    )
+    # the edit at token 5 kills windows starting at 3,4,5; shared runs are
+    # tokens 0..4 (windows 0..2) and 6..11 (windows 6..9) in BOTH docs
+    assert spans == [(0, 0, 4), (0, 6, 11), (1, 0, 4), (1, 6, 11)]
+
+
+def test_duplicate_spans_k_validation(span_docs):
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(span_docs, k=1)
