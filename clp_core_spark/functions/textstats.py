@@ -155,3 +155,45 @@ def gopher_keep(text: Column) -> Column:
         & (dup_line_ratio(text) <= 0.5)
         & (alpha_ratio >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+
+# Patterns restricted to the Java-regex/RE2 COMMON subset (no lookarounds,
+# no backrefs) so the same literal pattern runs identically in Spark and
+# DuckDB — dialect parity is pinned by a DuckDB cross-check in
+# test_textstats. Order matters for redaction: SSN and phone are masked
+# before the bare digit-run card pattern so their separators don't leave a
+# residue that re-matches.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "card": r"\b\d{4}([ -]?\d{4}){3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts, one JVM regexp_count expression per
+    kind (SQL twin: len(regexp_extract_all(text, pattern))). Returns a
+    dict so callers project only the kinds they audit."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)) -> Column:
+    """Mask every PII occurrence with <KIND> placeholders — the standard
+    scrub pass a training-data pipeline runs before tokenization.
+    A chain of JVM regexp_replace calls (one codegen'd projection, no
+    Python); applied in PII_PATTERNS order so separator-bearing kinds
+    (ssn/phone) are consumed before the bare card digit-run pattern.
+    SQL twin: the same regexp_replace chain with the 'g' flag."""
+    out = text
+    for kind in PII_PATTERNS:
+        if kind in kinds:
+            out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

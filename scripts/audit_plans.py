@@ -95,9 +95,10 @@ VERDICTS = {
         "parse; both sides read metadata-scale relations"
     ),
     "dedup_duplicate_spans": (
-        "clean — window hashes built JVM-side in one scan (8-byte "
-        "shuffle), min!=max two-phase agg, left-semi back-join, one "
-        "per-doc islands window"
+        "clean — window hashes built JVM-side (8-byte shuffle, text "
+        "never moves), skew-proof min!=max two-phase agg, dup-hash set "
+        "broadcast into the left-semi probe (shuffle-free; expansion "
+        "re-runs per side by design), one per-doc islands window"
     ),
     "clp_roundtrip_text": (
         "clean — two broadcast-dict decode legs union; coverage twin of "

@@ -107,3 +107,100 @@ def test_gopher_keep_gate(spark):
         "doc_id", textstats.gopher_keep(F.col("text")).alias("k")
     ).collect()}
     assert got == {0: True, 1: False, 2: False, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+
+
+PII_DOCS = [
+    (0, "contact alice.smith+spam@example.co.uk or bob@sub.domain.org now"),
+    (1, "server 10.0.0.1 talked to 192.168.255.254 on port 443"),
+    (2, "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567"),
+    (3, "card 1234 5678 9012 3456 or 1234-5678-9012-3456 or 1234567890123456"),
+    (4, "no sensitive content here at all, just 42 and 3.14"),
+    (5, "mixed: eve@corp.io from 172.16.0.9 card 9999 8888 7777 6666"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+
+
+def test_pii_counts(pii_df):
+    cols = textstats.pii_counts(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in pii_df.select(
+            "doc_id", *[c.alias(k) for k, c in cols.items()]
+        ).collect()
+    }
+    assert (rows[0]["email"], rows[0]["ipv4"]) == (2, 0)
+    assert rows[1]["ipv4"] == 2
+    assert (rows[2]["ssn"], rows[2]["phone"]) == (1, 2)
+    assert rows[3]["card"] == 3
+    assert all(rows[4][k] == 0 for k in ("email", "ipv4", "ssn", "phone", "card"))
+    assert (rows[5]["email"], rows[5]["ipv4"], rows[5]["card"]) == (1, 1, 1)
+
+
+def test_redact_pii(pii_df):
+    out = {
+        r["doc_id"]: r["red"]
+        for r in pii_df.select(
+            "doc_id", textstats.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert out[0] == "contact <EMAIL> or <EMAIL> now"
+    assert out[1] == "server <IPV4> talked to <IPV4> on port 443"
+    assert out[2] == "ssn <SSN> phone <PHONE> alt <PHONE>"
+    assert out[3] == "card <CARD> or <CARD> or <CARD>"
+    assert out[4] == PII_DOCS[4][1]
+    assert out[5] == "mixed: <EMAIL> from <IPV4> card <CARD>"
+
+
+def test_redact_pii_kinds_subset(pii_df):
+    out = {
+        r["doc_id"]: r["red"]
+        for r in pii_df.select(
+            "doc_id",
+            textstats.redact_pii(F.col("text"), kinds=("email",)).alias("red"),
+        ).collect()
+    }
+    assert out[0] == "contact <EMAIL> or <EMAIL> now"
+    assert out[1] == PII_DOCS[1][1]  # ipv4 untouched when not requested
+
+
+def test_pii_dialect_parity_duckdb(pii_df):
+    """The SAME literal patterns must behave identically in DuckDB (RE2)
+    — the dialect-parity contract the module header promises. Redaction
+    chain and per-kind counts are both cross-checked."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", PII_DOCS)
+    red_expr = "text"
+    for kind, pat in textstats.PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        red_expr = f"regexp_replace({red_expr}, '{esc}', '<{kind.upper()}>', 'g')"
+    duck = dict(con.execute(f"SELECT doc_id, {red_expr} FROM t").fetchall())
+    spark_red = {
+        r["doc_id"]: r["red"]
+        for r in pii_df.select(
+            "doc_id", textstats.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert duck == spark_red
+    for kind, pat in textstats.PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        duck_n = dict(con.execute(
+            f"SELECT doc_id, len(regexp_extract_all(text, '{esc}')) FROM t"
+        ).fetchall())
+        spark_n = {
+            r["doc_id"]: r["n"]
+            for r in pii_df.select(
+                "doc_id", textstats.pii_counts(F.col("text"))[kind].alias("n")
+            ).collect()
+        }
+        assert duck_n == spark_n, kind
