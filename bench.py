@@ -145,6 +145,8 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "clps_unstructured_array_search",
         "clp_schema_search",
         "clp_rawtext_roundtrip",
+        # round-5: exact-substring dedup (Arrow window-hash kernel)
+        "dedup_duplicate_spans",
     ]
     qs = entry.queries()
     out = {}

@@ -237,8 +237,31 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be a positive multiple of "
             f"bands ({bands})"
         )
-    base = _shingled(df, id_col, text_col, shingle_n)
-    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    # Fused text -> distinct-shingle-HASH kernel (one Arrow pass) replaces
+    # the two interpreted passes of the string former (HOF shingle build +
+    # HOF xxhash64 transform); MinHash and the Jaccard verify both operate
+    # on the hash SET, whose Jaccard equals the string-shingle Jaccard
+    # modulo 64-bit collisions — the family's standing probabilistic
+    # contract. Measured on the 100k-doc synthetic corpus at local[16]:
+    # 277s (string path, local[32]) -> see BENCH/BASELINE.md round-5.
+    # Empty/short docs yield an empty hash set and are filtered BEFORE
+    # banding — an all-zero signature would bucket every short doc
+    # together (quadratic self-join on the degenerate bucket).
+    if num_hashes not in _MINHASH_UDFS:
+        _MINHASH_UDFS[num_hashes] = _make_minhash_udf(num_hashes)
+    base = (
+        fan_out(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        )
+        .select(
+            "_id",
+            _window_hash_udf(shingle_n, distinct=True, split_ws=True)(
+                F.col("_text")
+            ).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
+    sig = base.withColumn("_sig", _MINHASH_UDFS[num_hashes](F.col("_sh")))
 
     banded = sig.select(
         "_id",
@@ -382,18 +405,24 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document over word n-gram shingles (n=1 for the
     classic token-level variant; n>=2 discriminates much better on
-    small-vocabulary corpora). Shingle hashes are computed JVM-side."""
-    if shingle_n == 1:
-        feats_df = df.select(
-            F.col(id_col),
-            F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("_sh"),
-        )
-    else:
-        feats_df = _shingled(df, id_col, text_col, shingle_n).withColumnRenamed(
-            "_id", id_col
-        )
-    hashes = F.transform(F.col("_sh"), lambda t: F.xxhash64(t))
-    return feats_df.select(F.col(id_col), _simhash_udf(hashes).alias("simhash"))
+    small-vocabulary corpora). Shingle hashes come from the fused
+    text -> distinct-shingle-hash Arrow kernel (_window_hash_udf) and
+    feed _simhash_udf's reduceat vote matrix directly — no interpreted
+    HOF shingle build, no JVM xxhash64 transform pass (the round-5
+    kernel A/B in BENCH/BASELINE.md). Any deterministic uniform hash
+    yields statistically equivalent signatures: clones collide under
+    every hash, and the planted-margin corpora keep distinct docs far
+    outside max_hamming w.h.p. (verified against the production-
+    parameter oracle at sf0.01 after the switch)."""
+    feats_df = fan_out(
+        df.select(F.col(id_col), F.col(text_col).alias("_text"))
+    ).select(
+        F.col(id_col),
+        _window_hash_udf(shingle_n, distinct=True, split_ws=True)(
+            F.col("_text")
+        ).alias("_shh"),
+    )
+    return feats_df.select(F.col(id_col), _simhash_udf(F.col("_shh")).alias("simhash"))
 
 
 def _popcount64(c: Column) -> Column:
@@ -545,6 +574,56 @@ def near_dup_clusters(
 # Exact duplicate-SPAN detection (sub-document granularity)
 
 
+_WINHASH_PRIME = np.uint64(1099511628211)  # FNV-1a 64-bit prime
+_WINHASH_UDFS: dict[int, object] = {}
+
+
+def _window_hash_udf(k: int, distinct: bool = False, split_ws: bool = False):
+    """Arrow-batched window-hash kernel: per-token 64-bit hashes
+    (pd.util.hash_array — fixed key, deterministic across runs and
+    executors) combined into one hash per k-token window by a
+    polynomial accumulate over k SHIFTED VIEWS of the token-hash array
+    (k numpy passes per doc, never a per-window Python loop). Replaces
+    the transform(sequence, slice+concat_ws+xxhash64) expression tree:
+    higher-order functions don't codegen, and the interpreted per-window
+    string build measured 296.4s vs 14.1s cold / 3.4s warm for this
+    kernel on a 100k-doc (11.3M-window) corpus at local[32] — a 21x
+    cold-scan win, the same HOF->numpy trade the minhash signatures
+    took in round 4.
+
+    ``distinct=True`` returns the np.unique'd hash SET (the shingle-set
+    form MinHash consumes — positions dropped); ``split_ws=True``
+    tokenizes on any whitespace run (str.split() semantics, matching
+    the \\s+ regex the string shingler used) instead of single spaces."""
+    key = (k, distinct, split_ws)
+    if key not in _WINHASH_UDFS:
+
+        @pandas_udf(ArrayType(LongType()))
+        def win_hashes(texts: pd.Series) -> pd.Series:
+            empty = np.array([], dtype=np.int64)
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(empty)
+                    continue
+                tk = t.split() if split_ws else t.split(" ")
+                n = len(tk)
+                if n < k:
+                    out.append(empty)
+                    continue
+                th = pd.util.hash_array(np.asarray(tk, dtype=object))
+                m = n - k + 1
+                acc = np.zeros(m, dtype=np.uint64)
+                for j in range(k):
+                    acc = acc * _WINHASH_PRIME + th[j : j + m]
+                iacc = acc.view(np.int64)
+                out.append(np.unique(iacc) if distinct else iacc)
+            return pd.Series(out)
+
+        _WINHASH_UDFS[key] = win_hashes
+    return _WINHASH_UDFS[key]
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -568,10 +647,10 @@ def duplicate_spans(
     its ``n_windows`` consecutive k-token windows appears in >= 2
     distinct documents, and the windows just outside it do not.
 
-    Plan (100 TB): the (id, pos, window-hash) relation is built
-    entirely JVM-side (sequence + transform + posexplode; the hash is
-    xxhash64 of the space-joined window, so 8 bytes + id + pos shuffle
-    — never text). Dup-hash build side: hash-shuffle groupBy marking
+    Plan (100 TB): the (id, pos, window-hash) relation is built by the
+    Arrow-batched numpy kernel above (one vectorized pass per doc; the
+    hash is a polynomial over per-token hashes, so 8 bytes + id + pos
+    shuffle — never text). Dup-hash build side: hash-shuffle groupBy marking
     hashes spanning >= 2 distinct docs (min(id) != max(id): two-phase
     agg with map-side partials, so a boilerplate window hot in millions
     of docs partial-aggregates map-side — skew-proof, where the
@@ -591,19 +670,11 @@ def duplicate_spans(
     if k < 2:
         raise ValueError("k must be >= 2 (a 1-token window is a token)")
     slim = fan_out(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.split(F.col(text_col), " ").alias("_toks"),
-        ).filter(F.size(F.col("_toks")) >= k)
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
     wins = slim.select(
         "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))),
-            )
-        ).alias("_pos", "_wh"),
+        F.posexplode(_window_hash_udf(k)(F.col("_text"))).alias("_pos", "_wh"),
     )
     dup_hashes = (
         wins.groupBy("_wh")

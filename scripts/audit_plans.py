@@ -32,8 +32,10 @@ VERDICTS = {
     "join_enrich_nation": "clean — dims broadcast, fact never shuffles",
     "kql_bool_range": "clean — whole predicate pushed to the scan",
     "dedup_minhash_lsh": (
-        "intended — banded (id,band,bucket) relation, one exchange shared "
-        "by both self-join sides, vectors re-attach to survivors only"
+        "intended — fused text->shingle-hash Arrow kernel (15.7x over the "
+        "string HOF path, BENCH), banded (id,band,bucket) relation, one "
+        "exchange shared by both self-join sides, hash sets re-attach to "
+        "survivors only"
     ),
     "sim_bruteforce_topk": "clean — JVM dot product + TakeOrdered",
     "clp_search_float": "clean — encoded-float probe, broadcast verify",
@@ -60,7 +62,8 @@ VERDICTS = {
     "dedup_simhash_prod": (
         "fixed r4 — margin-clean corpus now cached, so the jaccard prep is "
         "no longer re-derived per union/self-join branch; remaining plan is "
-        "signature UDF + ONE chunk exchange reused by both sides + popcount"
+        "the fused shingle-hash kernel + signature UDF + ONE chunk "
+        "exchange reused by both sides + popcount"
     ),
     "clp_roundtrip_events": "clean — decode joins broadcast the dicts",
     "clp_search_token": "clean — logtype probe + broadcast semi-join",
@@ -95,8 +98,9 @@ VERDICTS = {
         "parse; both sides read metadata-scale relations"
     ),
     "dedup_duplicate_spans": (
-        "clean — window hashes built JVM-side (8-byte shuffle, text "
-        "never moves), skew-proof min!=max two-phase agg, dup-hash set "
+        "clean — Arrow-batched window-hash kernel (numpy polynomial "
+        "over per-token hashes; 21x over the HOF form, BENCH), 8-byte "
+        "shuffle, skew-proof min!=max two-phase agg, dup-hash set "
         "broadcast into the left-semi probe (shuffle-free; expansion "
         "re-runs per side by design), one per-doc islands window"
     ),

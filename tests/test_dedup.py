@@ -203,3 +203,26 @@ def test_duplicate_spans_split_by_edit(spark):
 def test_duplicate_spans_k_validation(span_docs):
     with pytest.raises(ValueError):
         dedup.duplicate_spans(span_docs, k=1)
+
+
+def test_duplicate_spans_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, k=4).collect()
+    )
+    assert spans == [(1, 0, 3), (2, 0, 3)]
+
+
+def test_minhash_whitespace_run_tokenization(spark):
+    """The fused shingle-hash kernel tokenizes on whitespace RUNS
+    (str.split() == the \\s+ regex the string shingler used), so tab /
+    double-space separators yield the same shingle set."""
+    df = spark.createDataFrame(
+        [(0, "a b  c\td e f"), (1, "a b c d e f"), (2, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows] == [(0, 1, 1.0)]
