@@ -187,7 +187,56 @@ def _make_minhash_udf(num_hashes: int):
     return _minhash_udf
 
 
+def _make_text_minhash_udf(num_hashes: int, shingle_n: int):
+    """Fused text -> MinHash signature in ONE Arrow pass: tokenize,
+    per-token hash, rolling-polynomial shingle hashes (the
+    _window_hash_udf kernel inlined), np.unique per doc, then the K
+    universal-hash permutations over the flattened batch with
+    np.minimum.reduceat. Chaining the shingle kernel UDF into the
+    signature UDF instead costs a full JVM->Arrow->JVM round trip of
+    the per-doc hash arrays between two Python runner pipes (~0.5 GB
+    at 500k docs) plus a second worker chain — measured as the
+    dominant wait in the 500k-doc stage audit (BENCH round-5)."""
+    mh_a, mh_b = _mh_coeffs(num_hashes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _text_minhash_udf(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        res: list = [None] * n  # shingle-less docs stay NULL
+        per_doc: list[np.ndarray] = []
+        lens = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            tk = t.split() if t is not None else []
+            m = len(tk) - shingle_n + 1
+            if m < 1:
+                continue
+            th = pd.util.hash_array(np.asarray(tk, dtype=object))
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(shingle_n):
+                acc = acc * _WINHASH_PRIME + th[j : j + m]
+            u = np.unique(acc.view(np.int64))
+            per_doc.append(u)
+            lens[i] = len(u)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            flat = np.concatenate(per_doc).astype(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            mins = np.empty((len(nz), num_hashes), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(num_hashes):
+                    hk = (flat * mh_a[k] + mh_b[k]) >> np.uint64(3)
+                    mins[:, k] = np.minimum.reduceat(hk, starts)
+            imins = mins.astype(np.int64)
+            for row, idx in enumerate(nz):
+                res[idx] = imins[row]
+        return pd.Series(res)
+
+    return _text_minhash_udf
+
+
 _MINHASH_UDFS: dict[int, object] = {}
+_TEXT_MINHASH_UDFS: dict[tuple[int, int], object] = {}
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -237,45 +286,38 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be a positive multiple of "
             f"bands ({bands})"
         )
-    # Fused text -> distinct-shingle-HASH kernel (one Arrow pass) replaces
-    # the two interpreted passes of the string former (HOF shingle build +
-    # HOF xxhash64 transform); MinHash and the Jaccard verify both operate
-    # on the hash SET, whose Jaccard equals the string-shingle Jaccard
-    # modulo 64-bit collisions — the family's standing probabilistic
-    # contract. Measured on the 100k-doc synthetic corpus at local[16]:
-    # 277s (string path, local[32]) -> see BENCH/BASELINE.md round-5.
-    # Empty/short docs yield an empty hash set and are filtered BEFORE
-    # banding — an all-zero signature would bucket every short doc
-    # together (quadratic self-join on the degenerate bucket).
-    if num_hashes not in _MINHASH_UDFS:
-        _MINHASH_UDFS[num_hashes] = _make_minhash_udf(num_hashes)
-    base = (
-        fan_out(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        )
-        .select(
-            "_id",
-            _window_hash_udf(shingle_n, distinct=True, split_ws=True)(
-                F.col("_text")
-            ).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
+    # ONE fused text -> signature Arrow pass (tokenize + shingle-hash +
+    # K permutations in a single kernel, _make_text_minhash_udf): the
+    # MinHash and the Jaccard verify both operate on the shingle-hash
+    # SET, whose Jaccard equals the string-shingle Jaccard modulo 64-bit
+    # collisions — the family's standing probabilistic contract.
+    # Shingle-less docs get a NULL signature and are filtered BEFORE
+    # banding — a shared degenerate signature would bucket every short
+    # doc together (quadratic self-join on that bucket).
+    ukey = (num_hashes, shingle_n)
+    if ukey not in _TEXT_MINHASH_UDFS:
+        _TEXT_MINHASH_UDFS[ukey] = _make_text_minhash_udf(num_hashes, shingle_n)
+    slim = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
-    sig = base.withColumn("_sig", _MINHASH_UDFS[num_hashes](F.col("_sh")))
+    sig = slim.select(
+        "_id", _TEXT_MINHASH_UDFS[ukey](F.col("_text")).alias("_sig")
+    ).filter(F.col("_sig").isNotNull())
 
+    # Bucket = multi-arg xxhash64 over the band's signature slots —
+    # hashing the longs directly; the previous concat_ws form built
+    # bands x docs intermediate STRINGS and was the largest JVM cpu
+    # line in the 500k-doc stage audit (BENCH round-5).
     banded = sig.select(
         "_id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("_sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        *[
+                            F.element_at("_sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(bands)
                 ]
@@ -300,10 +342,20 @@ def minhash_lsh_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify on candidates only: re-join the shingle arrays by ID (two
-    # linear shuffles of `base`, vs shipping shingles 'bands' times).
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # Verify on candidates only: re-join the shingle-hash sets by ID.
+    # The explicit repartition(_id) gives both verify joins the SAME
+    # canonical exchange subtree, so ReuseExchange computes the Arrow
+    # shingle kernel ONCE for verification and the second join replays
+    # the shuffle files — without it each join re-scanned the corpus
+    # through the kernel (a full Python pass per side).
+    keyed = slim.select(
+        "_id",
+        _window_hash_udf(shingle_n, distinct=True, split_ws=True)(
+            F.col("_text")
+        ).alias("_sh"),
+    ).repartition(F.col("_id"))
+    sh_a = keyed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = keyed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = cand.join(sh_a, "id_a").join(sh_b, "id_b").withColumn(
         "jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b"))
     )
@@ -681,6 +733,14 @@ def duplicate_spans(
         .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
         .filter(F.col("_mn") != F.col("_mx"))
         .select("_wh")
+        # Materialize the FILTERED set as its own query stage (one tiny
+        # extra shuffle): AQE decides join strategy from the stage it
+        # actually materialized, and without this hop that stage is the
+        # PRE-agg window shuffle (corpus-sized), so runtime re-planning
+        # never discovers the dup set is broadcast-sized — measured as
+        # an SMJ that shuffled+sorted the 56M-row probe side (BENCH
+        # round-5 curation notes).
+        .repartition(F.col("_wh"))
     )
     hits = wins.join(dup_hashes, "_wh", "left_semi").select("_id", "_pos")
     win = W.partitionBy("_id").orderBy("_pos")

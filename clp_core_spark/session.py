@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # 10MB (Spark's default) is conservative for executors sized in
+        # GBs: it pushed the duplicate-span dup-hash set (~1.1M longs,
+        # ~27MB hashed) into a sort-merge join that shuffled+sorted the
+        # 56M-row probe side — 340s vs 194s once the set broadcasts
+        # (BENCH round-5 curation notes). 64MB keeps slim hash-set/
+        # dictionary relations broadcastable while AQE's runtime stats
+        # still protect against genuinely large sides.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
