@@ -780,3 +780,73 @@ def duplicate_spans(
             "n_windows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (test-set n-gram overlap)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Flag training documents that share any verbatim ``n``-token
+    window with an evaluation benchmark — the standard pre-training
+    decontamination step (13-gram overlap, Brown et al. 2020 appendix C;
+    the same sub-document granularity as duplicate_spans, whose
+    window-hash kernel this reuses). The reference's engine has no
+    analog; this belongs to the training-data-curation family the graft
+    adds on top of the CLP surface.
+
+    Returns ``df`` with two appended columns:
+      * ``n_contaminated_ngrams`` — distinct benchmark n-grams the doc
+        contains (0 for clean docs),
+      * ``contaminated`` — boolean, ``n_contaminated_ngrams > 0``.
+
+    Tokenization is whitespace-run (str.split()), matching the rest of
+    the curation family; cross-side equality is by 64-bit window hash —
+    the family's standing collision contract.
+
+    Plan (100 TB): the benchmark is eval-suite-sized — thousands of
+    documents, i.e. vanishing vs the training corpus — so its distinct
+    window-hash set is a slim 8-byte-key relation that AQE broadcasts.
+    The corpus side is ONE Arrow kernel pass emitting distinct window
+    hashes per doc; the broadcast inner join keeps only contaminated
+    (doc, hash) rows, which aggregate per doc with map-side partials.
+    The per-doc hit counts (16 bytes/row, bounded by contaminated docs)
+    join back onto the corpus; AQE broadcasts that side in the expected
+    case (contamination is rare) and downgrades the corpus exchange to
+    map-local reads — and if contamination is genuinely corpus-wide the
+    same plan degrades gracefully to a shuffle join instead of OOMing a
+    forced broadcast. Text never leaves the corpus scan stage either
+    way; only 8-byte hashes and counts move.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (a 1-token window is a token)")
+    kernel = _window_hash_udf(n, distinct=True, split_ws=True)
+    bench_hashes = (
+        benchmark.select(
+            F.explode(kernel(F.col(bench_text_col))).alias("_wh")
+        ).distinct()
+    )
+    wins = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select("_id", F.explode(kernel(F.col("_text"))).alias("_wh"))
+    hits = (
+        wins.join(bench_hashes, "_wh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+        .withColumnRenamed("_id", id_col)
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+    )

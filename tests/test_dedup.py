@@ -226,3 +226,62 @@ def test_minhash_whitespace_run_tokenization(spark):
     )
     rows = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows] == [(0, 1, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# decontamination (benchmark n-gram overlap)
+
+
+def _ngram_set(text: str, n: int) -> set:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_matches_exact_string_oracle(spark):
+    # deterministic corpus: 40 docs x 30 tokens drawn from a small vocab,
+    # plus planted contamination: docs 0-4 embed a verbatim 13-token
+    # window of benchmark doc (i % 2); doc 5 is an exact benchmark copy.
+    def words(seed, m, vocab):
+        x = seed
+        out = []
+        for _ in range(m):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            out.append(f"w{x % vocab}")
+        return out
+
+    bench_rows = [(b, " ".join(words(1000 + b, 25, 50000))) for b in range(5)]
+    doc_rows = []
+    for d in range(40):
+        toks = words(d, 30, 200)  # tiny vocab => docs share 1-grams, never 13-grams
+        if d < 5:
+            frag = bench_rows[d % 2][1].split()[3:16]  # 13 verbatim bench tokens
+            toks = toks[:10] + frag + toks[10:]
+        doc_rows.append((d, " ".join(toks)))
+    doc_rows.append((40, bench_rows[3][1]))  # exact benchmark copy
+    doc_rows.append((41, "short doc under n tokens"))
+
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
+        for r in dedup.decontaminate(docs, bench, n=13).collect()
+    }
+
+    bench_grams = set().union(*(_ngram_set(t, 13) for _, t in bench_rows))
+    for d, text in doc_rows:
+        expect = len(_ngram_set(text, 13) & bench_grams)
+        assert out[d] == (expect > 0, expect), f"doc {d}"
+    assert out[40] == (True, 25 - 13 + 1)  # exact copy: every window hits
+    assert [d for d, v in sorted(out.items()) if v[0]] == [0, 1, 2, 3, 4, 40]
+
+
+def test_decontaminate_preserves_input_rows_and_rejects_bad_n(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "x y z")], "bench_id long, text string")
+    out = dedup.decontaminate(docs, bench, n=2)
+    assert out.count() == 1 and out.columns[-2:] == [
+        "n_contaminated_ngrams",
+        "contaminated",
+    ]
+    with pytest.raises(ValueError):
+        dedup.decontaminate(docs, bench, n=1)
