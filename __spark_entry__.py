@@ -906,15 +906,21 @@ def _q_kql_date_range(spark, sf_dir):
     ).select("event_id")
 
 
-def _q_window_gap(spark, sf_dir):
-    from pyspark.sql import Window
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram eval-overlap flagging, Brown
+    et al. 2020 appendix C): every 50th document stands in for an eval
+    suite; the flagged set is the bench docs themselves (verbatim
+    self-overlap) plus corpus docs sharing any 13-token window with
+    one. Counts are DISTINCT overlapping n-grams per doc — window
+    functions proper stay covered by dedup_duplicate_spans
+    (row_number gaps-and-islands) and clp_rawtext_roundtrip (per-file
+    reassembly), which this query replaced in the registered 50."""
+    from clp_core_spark.operators import dedup
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    return ev.select(
-        "event_id",
-        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return dedup.decontaminate(docs, bench, n=13).select(
+        "doc_id", "n_contaminated_ngrams", "contaminated"
     )
 
 
@@ -1120,7 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bool_range": _q_kql_bool,
         "kql_wildcard_or": _q_kql_wildcard,
         "kql_date_range": _q_kql_date_range,
-        "window_turn_gap": _q_window_gap,
+        "curation_decontaminate": _q_decontaminate,
         "clp_search_time_range": _q_search_time_range,
         "dedup_cluster_canonical": _q_dedup_clusters,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
@@ -1399,10 +1405,23 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
             " WHERE ts >= TIMESTAMP '2024-01-10'"
             " AND ts < TIMESTAMP '2024-01-17' AND event_type = 'error'"
         ),
-        "window_turn_gap": (
-            "SELECT event_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER"
-            " (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms"
-            " FROM events"
+        # exact string-ngram form of the hash-based Spark path (equal
+        # modulo 64-bit collisions — the curation family's standing
+        # contract); documents.text is single-space tokenized, so
+        # string_split(' ') == the kernel's str.split() here
+        "curation_decontaminate": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+            " FROM documents),"
+            " grams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g"
+            " FROM toks, LATERAL (SELECT unnest(generate_series(1,"
+            " len(t)-12)) AS i) s),"
+            " bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),"
+            " hits AS (SELECT doc_id, count(DISTINCT g) AS n FROM grams"
+            " JOIN bench USING (g) GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " COALESCE(hits.n, 0) AS n_contaminated_ngrams,"
+            " COALESCE(hits.n, 0) > 0 AS contaminated"
+            " FROM documents d LEFT JOIN hits USING (doc_id)"
         ),
         "clp_search_time_range": (
             f"SELECT event_id FROM (SELECT event_id, ts, {_EVENT_TEXT_SQL} AS t"
