@@ -4,8 +4,9 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
 deterministic outputs) is real and tested. Codec coverage — all pure
 numpy/stdlib, no external media library: BI_RGB 24/32-bit BMP
-(:func:`decode_bmp`), non-interlaced 8-bit PNG via zlib inflate +
-numpy unfiltering (:func:`decode_png`), baseline sequential JPEG with
+(:func:`decode_bmp`), full PNG — every legal bit depth 1/2/4/8/16,
+gray/RGB/palette(+tRNS)/GA/RGBA, none + Adam7 interlace — via zlib
+inflate + numpy unfiltering (:func:`decode_png`), baseline sequential JPEG with
 canonical Huffman + IDCT + 4:2:0 upsampling (:func:`decode_jpeg`,
 including table-less MJPEG streams via the ITU T.81 Annex K.3 default
 tables), PCM/float/G.711-mu-law/A-law/IMA-ADPCM WAV
@@ -83,16 +84,84 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace pass grid: (x-origin, y-origin, x-step, y-step); each
+# pass is an independently filtered sub-image scattered into the output
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering. ``rows`` is (h, rowbytes+1) uint8
+    (filter-type byte + filtered bytes per row); ``bpp`` is the filter
+    stride in BYTES (max(1, channels*bit_depth/8) — the spec's "bpp").
+    Sub rows vectorize as per-lane cumulative sums; Average/Paeth rows
+    fall back to a per-byte loop (their recurrence is inherently
+    sequential). Returns (h, rowbytes) uint8."""
+    h, rowlen = rows.shape[0], rows.shape[1] - 1
+    out = np.zeros((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(h):
+        ft, row = int(rows[y, 0]), rows[y, 1:].copy()
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: each bpp-strided lane is a cumulative sum
+            rec = row
+            for o in range(bpp):
+                lane = rec[o::bpp].astype(np.uint32)
+                rec[o::bpp] = np.cumsum(lane).astype(np.uint8)
+        elif ft == 2:  # Up
+            rec = (row.astype(np.uint16) + prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            rec = np.empty(rowlen, dtype=np.uint8)
+            for x in range(rowlen):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(rowlen, dtype=np.uint8)
+            for x in range(rowlen):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _png_samples(rec: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, rowbytes) -> per-pixel samples
+    (h, w*nch): big-endian uint16 pairs at depth 16, bit-group unpack at
+    depths 1/2/4 (samples packed MSB-first, rows padded to a byte
+    boundary), pass-through at depth 8."""
+    h = rec.shape[0]
+    ns = w * nch
+    if depth == 8:
+        return rec[:, :ns]
+    if depth == 16:
+        # rowbytes is exactly 2 samples/byte-pair wide at depth 16
+        return ((rec[:, 0::2].astype(np.uint16) << 8) | rec[:, 1::2])[:, :ns]
+    bits = np.unpackbits(rec, axis=1)[:, : ns * depth].reshape(h, ns, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Pure stdlib-zlib + numpy decoder for non-interlaced 8-bit PNG
-    (color types 0 gray / 2 RGB / 3 palette incl. tRNS / 4 gray+alpha /
-    6 RGBA): chunk walk,
-    IDAT concatenation + zlib inflate, then per-scanline unfiltering
-    (None/Sub/Up/Average/Paeth). Sub rows vectorize as per-lane
-    cumulative sums; Average/Paeth rows fall back to a per-byte loop
-    (their recurrence is inherently sequential). Returns (h, w, ch)
-    uint8."""
+    """Pure stdlib-zlib + numpy PNG decoder: every legal bit depth
+    (1/2/4/8/16), color types 0 gray / 2 RGB / 3 palette incl. tRNS /
+    4 gray+alpha / 6 RGBA, and both interlace methods (none + Adam7 —
+    seven independently filtered passes scattered into the output
+    grid). Chunk walk, IDAT concatenation + zlib inflate, per-scanline
+    unfiltering (:func:`_png_unfilter`). Sub-byte gray samples scale to
+    the full 8-bit range (255/(2^d-1), the spec's presentation rule);
+    palette indices stay raw. Returns (h, w, ch) uint8, or uint16 at
+    bit depth 16 (no precision thrown away)."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -120,54 +189,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    # palette images carry 1 index byte/pixel through the filter stage
+    # palette images carry 1 index sample/pixel through the filter stage
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or nch is None or interlace != 0:
-        raise NotImplementedError(
-            "only non-interlaced 8-bit gray/RGB/palette/GA/RGBA PNG decodes here"
-        )
+    if nch is None or interlace not in (0, 1):
+        raise ValueError("bad PNG color type / interlace method")
+    if bit_depth not in (1, 2, 4, 8, 16) or (
+        bit_depth < 8 and color_type not in (0, 3)
+    ) or (bit_depth == 16 and color_type == 3):
+        raise ValueError("illegal PNG bit depth for color type")
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG missing/malformed PLTE")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    rowlen = width * nch
-    if len(raw) < height * (rowlen + 1):
-        raise ValueError("PNG pixel data truncated")
-    raw = raw[: height * (rowlen + 1)].reshape(height, rowlen + 1)
-    out = np.zeros((height, rowlen), dtype=np.uint8)
-    prev = np.zeros(rowlen, dtype=np.uint8)
-    for y in range(height):
-        ft, row = int(raw[y, 0]), raw[y, 1:].copy()
-        if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: each bpp-strided lane is a cumulative sum
-            rec = row
-            for o in range(nch):
-                lane = rec[o::nch].astype(np.uint32)
-                rec[o::nch] = np.cumsum(lane).astype(np.uint8)
-        elif ft == 2:  # Up
-            rec = (row.astype(np.uint16) + prev).astype(np.uint8)
-        elif ft == 3:  # Average
-            rec = np.empty(rowlen, dtype=np.uint8)
-            for x in range(rowlen):
-                left = int(rec[x - nch]) if x >= nch else 0
-                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            rec = np.empty(rowlen, dtype=np.uint8)
-            for x in range(rowlen):
-                a = int(rec[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = rec
-        prev = rec
+    bpp = max(1, (nch * bit_depth) // 8)
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
+    samples = np.zeros((height, width, nch), dtype=dtype)
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty for this image size
+        rowbytes = (pw * nch * bit_depth + 7) // 8
+        need = ph * (rowbytes + 1)
+        if off + need > len(raw):
+            raise ValueError("PNG pixel data truncated")
+        rec = _png_unfilter(raw[off : off + need].reshape(ph, rowbytes + 1), bpp)
+        off += need
+        sub = _png_samples(rec, pw, nch, bit_depth).reshape(ph, pw, nch)
+        samples[y0::dy, x0::dx] = sub
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(height, width)
+        idx = samples.reshape(height, width)
         if idx.max() >= pal.shape[0]:
             raise ValueError("palette index out of range")
         rgb = pal[idx]  # (h, w, 3)
@@ -176,7 +229,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
         return rgb
-    return out.reshape(height, width, nch)
+    if color_type == 0 and bit_depth < 8:
+        samples = samples * np.uint8(255 // ((1 << bit_depth) - 1))
+    return samples
 
 
 # --- baseline JPEG (ITU-T T.81 sequential DCT) -------------------------------
@@ -498,7 +553,7 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "BMP, non-interlaced 8-bit PNG, and baseline JPEG decode without "
+        "BMP, PNG, and baseline JPEG decode without "
         "a codec library (none in this container); pass fake=True for "
         "the deterministic stub"
     )

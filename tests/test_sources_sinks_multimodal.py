@@ -451,8 +451,172 @@ def test_png_decodes_for_real(spark):
         assert abs(r["std"][ch] - flat[:, :, ch].std()) < 1e-4
 
 
-def test_png_interlaced_and_16bit_rejected():
-    """Declared limits stay honest errors, not wrong pixels."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(
+        ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+    )
+
+
+def _png_filter_rows(rows: "np.ndarray", bpp: int, filters: list[int]) -> bytes:
+    """FORWARD-filter packed scanline bytes (h, rowbytes) with the given
+    per-row filter types at byte stride ``bpp`` — the exact layout
+    decode_png's unfilter must invert."""
+    import numpy as np
+
+    h, rowlen = rows.shape
+    raw = b""
+    prev = np.zeros(rowlen, dtype=np.int32)
+    for y in range(h):
+        rec = rows[y].astype(np.int32)
+        ft = filters[y % len(filters)]
+        filt = np.empty_like(rec)
+        for x in range(rowlen):
+            a = int(rec[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(rec[x]) - pred) & 0xFF
+        raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = rec
+    return raw
+
+
+def _png_pack_samples(sub: "np.ndarray", depth: int) -> "np.ndarray":
+    """(h, w, nch) int samples -> packed scanline bytes (h, rowbytes):
+    big-endian pairs at depth 16, MSB-first bit groups below 8."""
+    import numpy as np
+
+    h, w, nch = sub.shape
+    flat = sub.reshape(h, w * nch)
+    if depth == 8:
+        return flat.astype(np.uint8)
+    if depth == 16:
+        out = np.empty((h, w * nch * 2), dtype=np.uint8)
+        out[:, 0::2] = (flat >> 8).astype(np.uint8)
+        out[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+        return out
+    nbits = w * nch * depth
+    bits = (
+        (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(h, nbits)
+    return np.packbits(bits, axis=1)  # pads rows to a byte boundary
+
+
+def _png_bytes_full(px: "np.ndarray", depth: int, color_type: int,
+                    interlace: int, filters: list[int]) -> bytes:
+    """Hand-assemble a PNG at any bit depth / interlace method from an
+    (h, w, nch) sample array (palette: nch==1 index samples)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = px.shape
+    bpp = max(1, (nch * depth) // 8)
+    passes = (
+        multimodal._PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    )
+    raw = b""
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_rows(_png_pack_samples(sub, depth), bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decodes_for_real():
+    """Bit-depth-16 PNG (big-endian sample pairs; filter stride bpp=2*nch
+    BYTES, not samples) round-trips through every filter type and keeps
+    full precision — decode returns uint16."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    for nch, ctype in ((1, 0), (3, 2), (4, 6)):
+        px = rng.randint(0, 65536, size=(7, 5, nch)).astype(np.uint16)
+        got = multimodal.decode_png(
+            _png_bytes_full(px, 16, ctype, 0, filters=[0, 1, 2, 3, 4])
+        )
+        assert got.dtype == np.uint16
+        assert (got == px).all(), f"nch={nch}"
+
+
+def test_png_subbyte_depths_decode_for_real():
+    """1/2/4-bit gray (MSB-first packing, byte-padded rows, samples
+    scaled to full 8-bit range) and 4-bit palette indices + tRNS."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        px = rng.randint(0, mx + 1, size=(6, 9, 1)).astype(np.uint8)
+        got = multimodal.decode_png(
+            _png_bytes_full(px, depth, 0, 0, filters=[0, 1, 2])
+        )
+        assert (got == px * (255 // mx)).all(), f"depth={depth}"
+
+    pal = rng.randint(0, 256, size=(11, 3), dtype=np.uint8)
+    idx = rng.randint(0, 11, size=(5, 7, 1)).astype(np.uint8)
+    raw = _png_bytes_full(idx, 4, 3, 0, filters=[0, 2])
+    # splice PLTE+tRNS in before IDAT (builder emits IHDR/IDAT/IEND)
+    ihdr_end = 8 + 12 + 13
+    trns = bytes([9, 18, 27, 36])
+    body = (
+        raw[:ihdr_end] + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"tRNS", trns) + raw[ihdr_end:]
+    )
+    got = multimodal.decode_png(body)
+    assert got.shape == (5, 7, 4)
+    assert (got[..., :3] == pal[idx[..., 0]]).all()
+    alpha = np.full(11, 255, dtype=np.uint8)
+    alpha[:4] = [9, 18, 27, 36]
+    assert (got[..., 3] == alpha[idx[..., 0]]).all()
+
+
+def test_png_adam7_interlace_decodes_for_real():
+    """Adam7: seven independently filtered passes scatter back into the
+    output grid — checked at 8-bit RGB and 16-bit gray, on dimensions
+    that leave some passes empty (w or h < pass origin)."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    for hh, ww in ((9, 10), (4, 3), (1, 1), (2, 7)):
+        px = rng.randint(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        got = multimodal.decode_png(
+            _png_bytes_full(px, 8, 2, 1, filters=[0, 1, 2, 3, 4])
+        )
+        assert (got == px).all(), f"{hh}x{ww}"
+
+    px16 = rng.randint(0, 65536, size=(9, 10, 1)).astype(np.uint16)
+    got16 = multimodal.decode_png(
+        _png_bytes_full(px16, 16, 0, 1, filters=[4, 3, 1])
+    )
+    assert got16.dtype == np.uint16
+    assert (got16 == px16).all()
+
+
+def test_png_illegal_combinations_rejected():
+    """Spec-illegal headers stay honest errors, not wrong pixels."""
     import struct
     import zlib
 
@@ -461,19 +625,20 @@ def test_png_interlaced_and_16bit_rejected():
 
     def hdr(bit_depth, color_type, interlace):
         ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace)
-        body = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
-            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
-        )
         idat = zlib.compress(b"\0" * 20)
         return (
-            b"\x89PNG\r\n\x1a\n" + body
-            + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\0\0\0\0"
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
         )
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_png(hdr(16, 2, 0))
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_png(hdr(8, 2, 1))
+    with _pytest.raises(ValueError):  # palette cannot be 16-bit
+        multimodal.decode_png(hdr(16, 3, 0))
+    with _pytest.raises(ValueError):  # RGB cannot be sub-byte
+        multimodal.decode_png(hdr(4, 2, 0))
+    with _pytest.raises(ValueError):  # interlace method 2 does not exist
+        multimodal.decode_png(hdr(8, 2, 2))
+    with _pytest.raises(ValueError):  # bit depth 3 does not exist
+        multimodal.decode_png(hdr(3, 0, 0))
 
 
 def test_png_palette_decodes_with_trns():
