@@ -554,6 +554,104 @@ def simhash_near_pairs(
 # Cluster resolution: near-dup pairs -> connected components -> canonical doc
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Connected components of the pair graph via the alternating
+    large-star / small-star algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds regardless of
+    component DIAMETER, vs. diameter rounds for min-label propagation.
+    Returns (id, label) for every node that appears in ``pairs``, label
+    = the component's minimum id.
+
+    Per round, on the canonical undirected edge set (lo < hi):
+
+    * **large-star**: every node u computes m = min over itself and its
+      neighbors; each strictly-larger neighbor v re-attaches to m
+      (edge {u,v}, u<v  ->  {m(u), v}). Long chains fold toward their
+      minima from every node at once — this is what beats per-hop
+      propagation.
+    * **small-star**: every node u re-attaches its smaller neighbors
+      (and itself) to their collective minimum, flattening the partial
+      trees large-star built into stars.
+
+    The fixed point is a star forest: every edge is (component-min,
+    member). Each round is two groupBy-min + two joins on (long, long)
+    pairs — 16-byte rows, skew-safe (hot hubs partial-aggregate
+    map-side; their edges re-emit 1:1, never fan out). Each round's
+    edge set is ``localCheckpoint``-ed: persist() alone keeps the full
+    LOGICAL lineage, so by round k Catalyst would re-analyze k nested
+    rounds of unions/joins — the classic iterative-plan explosion
+    (measured: minutes of pure driver-side optimization on a 120-node
+    test graph); checkpointing truncates the plan to a leaf each round.
+    ``max_rounds`` (default 60 >> 2*log2(any realistic corpus)) guards
+    a logic error from looping forever — exceeding it raises rather
+    than returning split components."""
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_old = e.count()
+    for _ in range(max_rounds):
+        symm = e.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        # large-star: u<v edge -> (min(Γ+(u)), v)
+        mins = (
+            symm.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            symm.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # small-star over large-star's output
+        symm2 = large.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(
+            large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        smaller = symm2.filter(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        j = smaller.join(mins2, "u")
+        new_e = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .unionByName(
+                mins2.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+            )
+            .distinct()
+            .localCheckpoint()  # materializes AND truncates lineage
+        )
+        n_new = new_e.count()
+        stable = n_new == n_old and new_e.join(
+            e, ["lo", "hi"], "left_anti"
+        ).isEmpty()
+        e, n_old = new_e, n_new
+        if stable:
+            return e.select(
+                F.col("hi").alias("id"), F.col("lo").alias("label")
+            ).unionByName(
+                e.select(F.col("lo").alias("id"), F.col("lo").alias("label"))
+            ).distinct()
+    raise RuntimeError(
+        f"connected_components did not stabilize in {max_rounds} "
+        "alternating star rounds — this exceeds the algorithm's "
+        "O(log n) bound and indicates a logic error or id overflow"
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -561,6 +659,7 @@ def near_dup_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 20,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters and pick each cluster's
     canonical document: returns (id_col, canonical_id) for EVERY row of
@@ -576,10 +675,25 @@ def near_dup_clusters(
     when a round changes nothing. Rounds needed = the pair graph's
     component diameter — near-dup graphs are shallow (stars/cliques
     around a popular document; LSH emits most intra-cluster edges, not
-    a path), so 2-4 rounds is typical; ``max_iters`` bounds adversarial
-    chains, and the alternating large-star/small-star variant is the
-    drop-in upgrade if a corpus ever produces deep components. Only
-    (long, long) label pairs ever shuffle — document text never moves."""
+    a path), so 2-4 rounds is typical and label propagation is the
+    cheaper plan (one join/round vs. the star rounds' two). Deep
+    components escalate by ``algorithm``:
+
+    * ``"auto"`` (default) — label propagation for ``max_iters`` rounds;
+      if labels are still moving, rerun with the alternating
+      large-star/small-star :func:`connected_components` (O(log n)
+      rounds regardless of diameter) instead of failing.
+    * ``"label"`` — propagation only; raise on non-convergence (the
+      pre-round-5 contract).
+    * ``"star"`` — go straight to :func:`connected_components` (the
+      right call when the pair graph is known to be deep).
+
+    Only (long, long) label pairs ever shuffle — document text never
+    moves, under either algorithm."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError("algorithm must be 'auto', 'label', or 'star'")
+    if algorithm == "star":
+        return _star_canonical(df, pairs, id_col, a_col, b_col)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -628,16 +742,37 @@ def near_dup_clusters(
             # component's diameter exceeds the round budget — returning
             # here would silently split one duplicate cluster into
             # several "canonical" groups
+            if algorithm == "auto":
+                labels.unpersist()
+                return _star_canonical(df, pairs, id_col, a_col, b_col)
             raise RuntimeError(
                 f"near_dup_clusters did not converge in {max_iters} rounds "
                 f"({changed} labels still changing); a pair-graph component "
-                f"has diameter > max_iters — raise max_iters"
+                f"has diameter > max_iters — raise max_iters or use "
+                f"algorithm='star'"
             )
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("canonical_id")
         )
     finally:
         edges.unpersist()
+
+
+def _star_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """near_dup_clusters' output shape from the alternating-star
+    components: nodes in no pair are their own canonical."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("label"), F.col("id")).alias("canonical_id"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -130,19 +130,92 @@ def test_minhash_lsh_invalid_band_config(spark):
 
 
 def test_near_dup_clusters_nonconvergence_raises(spark):
-    """A component whose diameter exceeds max_iters must raise, not
-    silently return a split cluster (several 'canonical' copies of one
-    duplicate group)."""
+    """With algorithm='label', a component whose diameter exceeds
+    max_iters must raise, not silently return a split cluster (several
+    'canonical' copies of one duplicate group); the default 'auto'
+    escalates the same case to the alternating-star algorithm and
+    returns the correct single cluster."""
     docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
     chain = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.near_dup_clusters(docs, chain, max_iters=1)
-    # and the same graph converges with an adequate budget
+        dedup.near_dup_clusters(docs, chain, max_iters=1, algorithm="label")
+    # the same under-budgeted call escalates instead of failing
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.near_dup_clusters(docs, chain, max_iters=1).collect()}
+    assert got == {i: 1 for i in range(1, 6)}
+    # and converges by propagation alone with an adequate budget
     got = {r["doc_id"]: r["canonical_id"]
            for r in dedup.near_dup_clusters(docs, chain, max_iters=10).collect()}
     assert set(got.values()) == {1}
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup.near_dup_clusters(docs, chain, algorithm="bogus")
+
+
+def _uf_oracle(n_nodes, edges):
+    """Pure-python union-find ground truth: node -> component min."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_star_deep_path(spark):
+    """The alternating-star algorithm resolves a 120-node PATH — the
+    diameter-adversarial shape where per-hop label propagation needs 119
+    rounds — within its O(log n) budget."""
+    n = 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["label"]
+           for r in dedup.connected_components(pairs, max_rounds=20).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Property: on random graphs (mixed stars, paths, cliques,
+    singletons-in-pairs), star components equal a union-find oracle."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 60
+        edges = set()
+        while len(edges) < 45:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {r["id"]: r["label"]
+               for r in dedup.connected_components(pairs).collect()}
+        oracle = _uf_oracle(n, edges)
+        touched = {x for e in edges for x in e}
+        assert got == {x: oracle[x] for x in touched}, f"trial={trial}"
+
+
+def test_near_dup_clusters_star_algorithm(spark):
+    """algorithm='star' goes straight to the star components and keeps
+    the output contract (every df row labeled; singletons themselves)."""
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")
+    pairs = spark.createDataFrame([(3, 2), (2, 1), (4, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.near_dup_clusters(docs, pairs, algorithm="star").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+    # empty pair set through the star path
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.near_dup_clusters(docs, empty, algorithm="star").collect()}
+    assert got == {i: i for i in (1, 2, 3, 4, 9)}
 
 
 # ---------------------------------------------------------------------------
