@@ -266,6 +266,26 @@ def _host_load() -> dict:
     }
 
 
+def _cpu_calibration() -> float:
+    """Single-core speed probe (ms): best-of-3 numpy sort of 4M floats —
+    always single-threaded (no BLAS pool), deterministic input. Loadavg
+    shows CONTENTION but not a slower host: across boots of this sandbox
+    the same code at idle load has varied ~1.4x e2e, which only a
+    same-work/same-thread probe can attribute. Compare this field across
+    BENCH_r*.json before reading a throughput delta as a code change."""
+    import numpy as _np
+
+    data = _np.arange(4_000_000, dtype=_np.float64)
+    rng = _np.random.RandomState(0)
+    rng.shuffle(data)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _np.sort(data, kind="quicksort")
+        best = min(best, time.time() - t0)
+    return round(best * 1000, 1)
+
+
 def main() -> None:
     pipeline_only = "--pipeline-only" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -315,6 +335,7 @@ def main() -> None:
         "at_rest": at_rest,
         "load_start": load_start,
         "load_end": _host_load(),
+        "cpu_calib_sort_ms": _cpu_calibration(),
     }
     print(json.dumps(result))
     spark.stop()
