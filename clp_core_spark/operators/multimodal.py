@@ -6,16 +6,17 @@ deterministic outputs) is real and tested. Codec coverage — all pure
 numpy/stdlib, no external media library: BI_RGB 24/32-bit BMP
 (:func:`decode_bmp`), full PNG — every legal bit depth 1/2/4/8/16,
 gray/RGB/palette(+tRNS)/GA/RGBA, none + Adam7 interlace — via zlib
-inflate + numpy unfiltering (:func:`decode_png`), baseline sequential JPEG with
-canonical Huffman + IDCT + 4:2:0 upsampling (:func:`decode_jpeg`,
-including table-less MJPEG streams via the ITU T.81 Annex K.3 default
+inflate + numpy unfiltering (:func:`decode_png`), baseline sequential AND
+progressive JPEG with canonical Huffman + batched IDCT + 4:2:0
+upsampling (:func:`decode_jpeg`, including table-less MJPEG streams
+via the ITU T.81 Annex K.3 default
 tables), PCM/float/G.711-mu-law/A-law/IMA-ADPCM WAV
 (:func:`decode_wav`), and
 RIFF/AVI video — both uncompressed 24-bit DIB and Motion-JPEG frames
 (:func:`decode_avi`, real frame extraction in frame_features) — every
 modality's ``fake=False`` path is exercised end-to-end on real bytes.
-Remaining formats (progressive JPEG, MP3/AAC, inter-frame video
-codecs) raise NotImplementedError
+Remaining formats (MP3/AAC, inter-frame video
+codecs, lossless/arithmetic JPEG) raise NotImplementedError
 unless ``fake=True``, which substitutes a deterministic
 content-hash-seeded decoder so downstream feature/resize/frame-sample
 operators stay testable.
@@ -382,28 +383,139 @@ def _std_huff_table(cls: int, tid: int) -> dict[tuple[int, int], int]:
     return table
 
 
+def _jpeg_entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker after ``start`` — 0xFF followed by
+    anything other than a stuffed 0x00 or a restart RST0-7 ends the
+    entropy-coded segment (T.81 B.1.1.5)."""
+    i = start
+    while True:
+        j = payload.find(b"\xff", i)
+        if j == -1 or j + 1 >= len(payload):
+            return len(payload)
+        nxt = payload[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+def _jpeg_decode_block_full(reader, dc_tbl, ac_tbl, pred, zz):
+    """Baseline block: DC diff + AC run/size with EOB/ZRL, into the
+    zigzag-order coefficient vector. Returns the updated DC predictor."""
+    s = _huff_decode(reader, dc_tbl)
+    pred += _jpeg_extend(reader.receive(s), s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tbl)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _jpeg_extend(reader.receive(size), size)
+        k += 1
+    return pred
+
+
+def _jpeg_ac_first(reader, ac_tbl, zz, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (T.81 G.1.2.2):
+    run/size within the [ss, se] spectral band, EOB runs spanning
+    blocks, new coefficients scaled by the successive-approximation
+    shift. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tbl)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r < 15:  # EOBn: run of 2^r + receive(r) all-done blocks
+                return (1 << r) - 1 + (reader.receive(r) if r else 0)
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC band overflow")
+        zz[k] = _jpeg_extend(reader.receive(size), size) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader, ac_tbl, zz, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±1<<al after a run of zero-HISTORY
+    positions; every already-nonzero coefficient passed on the way (and
+    the whole band tail during an EOB run) receives a correction bit.
+    Returns the remaining EOB run."""
+    bit = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                val = bit if reader.read_bit() else -bit
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and not (zz[k] & bit):
+                        zz[k] += bit if zz[k] > 0 else -bit
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit() and not (zz[k] & bit):
+                    zz[k] += bit if zz[k] > 0 else -bit
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Pure-numpy baseline JPEG decoder (ITU-T T.81 sequential DCT,
-    SOF0): marker walk, canonical Huffman tables, per-MCU block decode
-    (DC diff + AC run/size with EOB/ZRL), dequantize, un-zigzag,
-    orthonormal IDCT, nearest-neighbor chroma upsample for subsampled
-    scans, BT.601 YCbCr->RGB. Returns (h, w, 3) uint8 RGB (grayscale
-    replicates to 3 channels). A scan referencing a Huffman table id
-    0/1 that no DHT segment defined falls back to the ITU T.81 Annex
-    K.3 defaults — the Motion-JPEG convention, where streams carry no
-    DHT at all. Progressive (SOF2) and arithmetic-coded JPEGs raise
-    NotImplementedError — baseline covers the overwhelming majority of
-    real files."""
+    """Pure-numpy JPEG decoder for baseline sequential (SOF0/1) AND
+    progressive (SOF2) DCT, ITU-T T.81: marker walk, canonical Huffman
+    tables, per-scan entropy decode into per-component coefficient
+    arrays — baseline blocks in one pass; progressive as DC
+    first/refinement plus per-band AC first/refinement scans with EOB
+    runs and successive approximation — then one batched dequantize +
+    un-zigzag + orthonormal IDCT over every block, nearest-neighbor
+    chroma upsample, BT.601 YCbCr->RGB. Returns (h, w, 3) uint8 RGB
+    (grayscale replicates to 3 channels). A scan referencing a Huffman
+    table id 0/1 that no DHT segment defined falls back to the ITU
+    T.81 Annex K.3 defaults — the Motion-JPEG convention, where
+    streams carry no DHT at all. Lossless/arithmetic/hierarchical
+    variants (SOF3/5-7/9-11) raise NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = mcux = mcuy = 0
+    progressive = False
     restart_interval = 0
+    coef: list[np.ndarray] = []  # per comp: (nby, nbx, 64) zigzag coeffs
     pos = 2
-    scan_data = None
-    scan_comp_tables: list[tuple[int, int]] = []
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -440,7 +552,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(cls, tid)] = table
                 i += 17 + sum(counts)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -453,76 +566,139 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 }
                 for c in range(ncomp)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential JPEG decodes")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # MCU-padded storage covers both interleaved and
+                # single-component scan geometries
+                coef.append(
+                    np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+                )
+                # non-interleaved scans cover ceil(comp_samples/8) blocks
+                c["nbx"] = -(-(-(-w * c["hs"] // hmax)) // 8)
+                c["nby"] = -(-(-(-h * c["vs"] // vmax)) // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "lossless/arithmetic/hierarchical JPEG does not decode here"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            saw_scan = True
             ns = body[0]
-            scan_comp_tables = [
-                (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
-                for c in range(ns)
-            ]
-            scan_data = payload[pos + 2 + seg_len :]
-            break
+            sel = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                ci = next(
+                    i for i, cc in enumerate(comps) if cc["id"] == cid
+                )
+                dc_t, ac_t = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F
+                sel.append(
+                    (
+                        ci,
+                        huff.get((0, dc_t)) or _std_huff_table(0, dc_t),
+                        huff.get((1, ac_t)) or _std_huff_table(1, ac_t),
+                    )
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            data_start = pos + 2 + seg_len
+            data_end = _jpeg_entropy_end(payload, data_start)
+            reader = _BitReader(payload[data_start:data_end])
+            pred = {ci: 0 for ci, _, _ in sel}
+            eobrun = 0
+            unit = 0  # MCUs (interleaved) or blocks (single-component)
+
+            def _restart_tick():
+                nonlocal unit, eobrun
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.skip_restart()
+                    for k_ in pred:
+                        pred[k_] = 0
+                    eobrun = 0
+                unit += 1
+
+            if len(sel) > 1 or (not progressive):
+                if progressive and ss != 0:
+                    raise ValueError("progressive AC scans must be single-component")
+                n_units = (
+                    mcuy * mcux
+                    if len(sel) > 1
+                    else comps[sel[0][0]]["nby"] * comps[sel[0][0]]["nbx"]
+                )
+                single = len(sel) == 1
+                for u in range(n_units):
+                    _restart_tick()
+                    for ci, dc_tbl, ac_tbl in sel:
+                        comp = comps[ci]
+                        if single:
+                            by, bx = divmod(u, comp["nbx"])
+                            blocks = [(by, bx)]
+                        else:
+                            my, mx = divmod(u, mcux)
+                            blocks = [
+                                (my * comp["vs"] + byy, mx * comp["hs"] + bxx)
+                                for byy in range(comp["vs"])
+                                for bxx in range(comp["hs"])
+                            ]
+                        for by, bx in blocks:
+                            zz = coef[ci][by, bx]
+                            if not progressive:
+                                pred[ci] = _jpeg_decode_block_full(
+                                    reader, dc_tbl, ac_tbl, pred[ci], zz
+                                )
+                            elif ah == 0:  # DC first (interleaved allowed)
+                                s = _huff_decode(reader, dc_tbl)
+                                pred[ci] += _jpeg_extend(reader.receive(s), s)
+                                zz[0] = pred[ci] << al
+                            else:  # DC refinement
+                                if reader.read_bit():
+                                    zz[0] |= 1 << al
+            else:
+                ci, dc_tbl, ac_tbl = sel[0]
+                comp = comps[ci]
+                eobrun = 0
+                for u in range(comp["nby"] * comp["nbx"]):
+                    _restart_tick()
+                    by, bx = divmod(u, comp["nbx"])
+                    zz = coef[ci][by, bx]
+                    if ss == 0:  # DC scan, single component
+                        if ah == 0:
+                            s = _huff_decode(reader, dc_tbl)
+                            pred[ci] += _jpeg_extend(reader.receive(s), s)
+                            zz[0] = pred[ci] << al
+                        elif reader.read_bit():
+                            zz[0] |= 1 << al
+                    elif ah == 0:
+                        eobrun = _jpeg_ac_first(
+                            reader, ac_tbl, zz, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _jpeg_ac_refine(
+                            reader, ac_tbl, zz, ss, se, al, eobrun
+                        )
+            pos = data_end
+            continue
         pos += 2 + seg_len
-    if not comps or scan_data is None:
+    if not comps or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
 
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    comp_tables = [
-        (
-            huff.get((0, dc_t)) or _std_huff_table(0, dc_t),
-            huff.get((1, ac_t)) or _std_huff_table(1, ac_t),
-        )
-        for dc_t, ac_t in scan_comp_tables
-    ]
-    reader = _BitReader(scan_data)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.skip_restart()
-                pred = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                dc_tbl, ac_tbl = comp_tables[ci]
-                quant = qt[comp["qt"]]
-                for by in range(comp["vs"]):
-                    for bx in range(comp["hs"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = _huff_decode(reader, dc_tbl)
-                        diff = _jpeg_extend(reader.receive(s), s)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tbl)
-                            r, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _jpeg_extend(reader.receive(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_JPEG_ZIGZAG] = zz * quant
-                        px = _DCT_T.T @ block.reshape(8, 8) @ _DCT_T + 128.0
-                        y0 = (my * comp["vs"] + by) * 8
-                        x0 = (mx * comp["hs"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
+    # batched dequantize + un-zigzag + IDCT per component
+    planes = []
+    for ci, comp in enumerate(comps):
+        nby, nbx, _ = coef[ci].shape
+        deq = coef[ci].astype(np.float64) * qt[comp["qt"]]
+        blocks = np.zeros((nby, nbx, 64), dtype=np.float64)
+        blocks[:, :, _JPEG_ZIGZAG] = deq
+        blocks = blocks.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _DCT_T.T, blocks, _DCT_T) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
 
     # upsample to full resolution and crop
     full = []

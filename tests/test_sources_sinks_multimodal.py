@@ -1167,15 +1167,336 @@ def test_jpeg_decodes_for_real(spark):
         assert abs(r["mean"][ch] - exp[:, :, ch].mean()) < 1e-3
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_lossless_rejected():
+    """Non-DCT JPEG variants (SOF3 lossless) stay honest errors."""
     import struct
 
     body = b"\x08" + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
-    raw = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2)
+    raw = (b"\xff\xd8" + bytes([0xFF, 0xC3]) + struct.pack(">H", len(body) + 2)
            + body + b"\xff\xd9")
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         multimodal.decode_jpeg(raw)
+
+
+def _jpeg_progressive_bytes(px: "np.ndarray", subsample: bool = False):
+    """Hand-assemble a PROGRESSIVE JPEG (SOF2) with a libjpeg-style scan
+    script: interleaved DC first (Al=1) + DC refinement, per-component
+    spectral-band AC first scans with successive approximation, and AC
+    refinement scans with EOB runs and buffered correction bits — the
+    encoder mirrors jcphuff.c's published algorithm so the decoder's
+    G.1.2 implementation is validated symbol-for-symbol. All scans
+    refine down to Al=0, so the expected image is the exact
+    reconstruction from the full-precision quantized coefficients
+    (AC zeroed in MCU-padding blocks no non-interleaved scan covers)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    q = np.full(64, 4, dtype=np.int32)
+    ZZ = multimodal._JPEG_ZIGZAG
+    T = multimodal._DCT_T
+
+    r_, g_, b_ = (px[..., i].astype(np.float64) for i in range(3))
+    Y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    Cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+    Cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+    hs_l = vs_l = 2 if subsample else 1
+
+    def sub(p):
+        if not subsample:
+            return p
+        hh, ww = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+        pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+        return (pp[0::2, 0::2] + pp[1::2, 0::2]
+                + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+
+    planes = [(Y, hs_l, vs_l), (sub(Cb), 1, 1), (sub(Cr), 1, 1)]
+    hmax, vmax = hs_l, vs_l
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, hs, vs in planes:
+        H, W = mcuy * vs * 8, mcux * hs * 8
+        pp = np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])), mode="edge")
+        padded.append((pp, hs, vs))
+
+    # full-precision quantized zigzag coefficients per STORAGE block;
+    # AC zeroed outside the component's non-interleaved raster (those
+    # padding blocks receive only the interleaved DC scans)
+    coef, dims = [], []
+    for pp, hs, vs in padded:
+        nby_s, nbx_s = mcuy * vs, mcux * hs
+        grid = np.zeros((nby_s, nbx_s, 64), dtype=np.int64)
+        for by in range(nby_s):
+            for bx in range(nbx_s):
+                blk = pp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                Fq = T @ blk @ T.T
+                grid[by, bx] = np.round(Fq.reshape(-1)[ZZ] / q).astype(np.int64)
+        cw, ch_ = -(-w * hs // hmax), -(-h * vs // vmax)
+        nbx, nby = -(-cw // 8), -(-ch_ // 8)
+        grid[:, nbx:, 1:] = 0
+        grid[nby:, :, 1:] = 0
+        coef.append(grid)
+        dims.append((nby, nbx))
+
+    # expected pixels via the decoder's own dequant/IDCT/upsample math
+    recon = []
+    for ci, (pp, hs, vs) in enumerate(padded):
+        nby_s, nbx_s, _ = coef[ci].shape
+        plane = np.zeros((nby_s * 8, nbx_s * 8))
+        for by in range(nby_s):
+            for bx in range(nbx_s):
+                deq = np.zeros(64)
+                deq[ZZ] = coef[ci][by, bx] * q
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    T.T @ deq.reshape(8, 8) @ T + 128.0
+                )
+        recon.append(plane)
+    full = []
+    for ci, (_, hs, vs) in enumerate(padded):
+        p = np.repeat(np.repeat(recon[ci], vmax // vs, axis=0),
+                      hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    exp = np.clip(np.round(np.stack(
+        [yy + 1.402 * cr, yy - 0.344136 * cb - 0.714136 * cr,
+         yy + 1.772 * cb], axis=2)), 0, 255).astype(np.uint8)
+
+    def bitlen(v):
+        return int(v).bit_length()
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, hs, vs) in enumerate(padded):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+
+    # scan generators -> lists of ("sym", cls, s) / ("bits", v, n) events
+    def gen_dc_first(al):
+        ev, pred = [], [0, 0, 0]
+        for ci, by, bx in mcu_blocks():
+            v = int(coef[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+            diff, pred[ci] = v - pred[ci], v
+            s = bitlen(abs(diff))
+            ev.append(("sym", 0, s))
+            if s:
+                ev.append(("bits", diff if diff >= 0 else diff + (1 << s) - 1, s))
+        return ev
+
+    def gen_dc_refine(al):
+        return [("bits", (int(coef[ci][by, bx, 0]) >> al) & 1, 1)
+                for ci, by, bx in mcu_blocks()]
+
+    def gen_ac_first(ci, ss, se, al):
+        ev = []
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ev.append(("sym", 1, nb << 4))
+                if nb:
+                    ev.append(("bits", eobrun - (1 << nb), nb))
+                eobrun = 0
+
+        nby, nbx = dims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz, r = coef[ci][by, bx], 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al  # magnitude shift (G.1.2.2)
+                    if t == 0:
+                        r += 1
+                        continue
+                    t = t if v >= 0 else -t
+                    flush()
+                    while r > 15:
+                        ev.append(("sym", 1, 0xF0))
+                        r -= 16
+                    size = bitlen(abs(t))
+                    ev.append(("sym", 1, (r << 4) | size))
+                    ev.append(("bits", t if t >= 0 else t + (1 << size) - 1, size))
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+        flush()
+        return ev
+
+    def gen_ac_refine(ci, ss, se, al):
+        # mirrors jcphuff.c encode_mcu_AC_refine: corrections for
+        # already-nonzero coefficients buffer until the next new-coef /
+        # ZRL symbol or the EOB-run flush
+        ev = []
+        eobrun, be = 0, []
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ev.append(("sym", 1, nb << 4))
+                if nb:
+                    ev.append(("bits", eobrun - (1 << nb), nb))
+                ev.extend(("bits", bit, 1) for bit in be)
+                be = []
+                eobrun = 0
+
+        nby, nbx = dims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coef[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # band-relative index AFTER the last new coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                r, br = 0, []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        flush()
+                        ev.append(("sym", 1, 0xF0))
+                        r -= 16
+                        ev.extend(("bits", bit, 1) for bit in br)
+                        br = []
+                    if t > 1:  # previously nonzero: buffer correction bit
+                        br.append(t & 1)
+                        continue
+                    flush()
+                    ev.append(("sym", 1, (r << 4) | 1))
+                    ev.append(("bits", 1 if int(zz[ss + i]) > 0 else 0, 1))
+                    ev.extend(("bits", bit, 1) for bit in br)
+                    br, r = [], 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+        flush()
+        return ev
+
+    scan_script = [
+        (None, 0, 0, 0, 1, gen_dc_first(1)),
+        (0, 1, 5, 0, 2, gen_ac_first(0, 1, 5, 2)),
+        (1, 1, 63, 0, 1, gen_ac_first(1, 1, 63, 1)),
+        (2, 1, 63, 0, 1, gen_ac_first(2, 1, 63, 1)),
+        (0, 6, 63, 0, 2, gen_ac_first(0, 6, 63, 2)),
+        (0, 1, 63, 2, 1, gen_ac_refine(0, 1, 63, 1)),
+        (None, 0, 0, 1, 0, gen_dc_refine(0)),
+        (0, 1, 63, 1, 0, gen_ac_refine(0, 1, 63, 0)),
+        (1, 1, 63, 1, 0, gen_ac_refine(1, 1, 63, 0)),
+        (2, 1, 63, 1, 0, gen_ac_refine(2, 1, 63, 0)),
+    ]
+
+    # one shared canonical single-length table per class over all scans
+    def canon(syms):
+        syms = sorted(syms)
+        L = max(2, (len(syms)).bit_length() + 1)
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return counts, {s: (L, i) for i, s in enumerate(syms)}
+
+    dc_counts, dc_codes = canon(
+        {s for _, _, _, _, _, ev in scan_script
+         for kind, cls, s in ((e[0], e[1], e[2]) for e in ev if e[0] == "sym")
+         if cls == 0} or {0}
+    )
+    ac_counts, ac_codes = canon(
+        {s for _, _, _, _, _, ev in scan_script
+         for kind, cls, s in ((e[0], e[1], e[2]) for e in ev if e[0] == "sym")
+         if cls == 1} or {0}
+    )
+    codes = {0: dc_codes, 1: ac_codes}
+
+    def encode_scan(ev):
+        out = bytearray()
+        bitbuf, nbits = 0, 0
+
+        def put(code, length):
+            nonlocal bitbuf, nbits
+            bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+            nbits += length
+            while nbits >= 8:
+                nbits -= 8
+                byte = (bitbuf >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        for e in ev:
+            if e[0] == "sym":
+                L, c = codes[e[1]][e[2]]
+                put(c, L)
+            else:
+                _, v, n = e
+                if n:
+                    put(v, n)
+        if nbits:
+            pad = 8 - nbits
+            put((1 << pad) - 1, pad)
+        return bytes(out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof_comps = b"".join(
+        bytes([i + 1, (hs << 4) | vs, 0])
+        for i, (_, hs, vs) in enumerate(padded)
+    )
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes(int(x) for x in q))
+        + seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
+        + seg(0xC4, b"\x00" + bytes(dc_counts)
+              + bytes(sorted(dc_codes)))
+        + seg(0xC4, b"\x10" + bytes(ac_counts)
+              + bytes(sorted(ac_codes)))
+    )
+    for comp_sel, ss, se, ah, al, ev in scan_script:
+        if comp_sel is None:
+            sos = bytes([3]) + b"".join(
+                bytes([i + 1, 0x00]) for i in range(3)
+            ) + bytes([ss, se, (ah << 4) | al])
+        else:
+            sos = bytes([1, comp_sel + 1, 0x00, ss, se, (ah << 4) | al])
+        payload += seg(0xDA, sos) + encode_scan(ev)
+    return payload + b"\xff\xd9", exp
+
+
+def test_jpeg_progressive_decodes_for_real(spark):
+    """Progressive JPEG (SOF2): interleaved DC first/refinement,
+    per-component spectral-band AC first scans, AC refinement with EOB
+    runs and buffered correction bits — decode reproduces the exact
+    reconstruction implied by the full-precision coefficients, for both
+    4:4:4 and 4:2:0 sampling (the latter exercises non-interleaved
+    scan geometry narrower than the MCU-padded storage)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    for subsample, hh, ww in ((False, 13, 11), (True, 21, 19), (False, 8, 8)):
+        px = rng.randint(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        raw, exp = _jpeg_progressive_bytes(px, subsample=subsample)
+        got = multimodal.decode_jpeg(raw)
+        assert got.shape == exp.shape
+        assert (got == exp).all(), f"subsample={subsample} {hh}x{ww}"
+
+    # smooth gradient: many zero/EOB-run blocks, exercises long EOB runs
+    grad = np.linspace(0, 255, 24 * 16 * 3).reshape(24, 16, 3).astype(np.uint8)
+    raw, exp = _jpeg_progressive_bytes(grad)
+    got = multimodal.decode_jpeg(raw)
+    assert (got == exp).all()
+    # and through the generic mapInPandas entry point
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), 16, 24, 3)],
+        "id long, data binary, width int, height int, channels int",
+    )
+    [r] = multimodal.image_stats(df, fake_decode=False).collect()
+    for ch in range(3):
+        assert abs(r["mean"][ch] - exp[:, :, ch].astype(np.float64).mean()) < 1e-3
 
 
 def test_jpeg_restart_markers():
