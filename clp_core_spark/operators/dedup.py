@@ -694,68 +694,66 @@ def near_dup_clusters(
         raise ValueError("algorithm must be 'auto', 'label', or 'star'")
     if algorithm == "star":
         return _star_canonical(df, pairs, id_col, a_col, b_col)
+    # localCheckpoint, not persist: each round's plan references the
+    # previous labels TWICE (the neighbor-min join and the left join
+    # back), so with persist() alone the SQL plan DESCRIPTION — which
+    # reprints every InMemoryRelation's build plan under every scan —
+    # grows 2^rounds and was measured OOMing the driver on plan-string
+    # generation under suite-level heap pressure. Checkpointing
+    # truncates each round's lineage to a leaf.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         df.select(F.col(id_col).alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
-    try:
-        changed = 0
-        for _ in range(max_iters):
-            neighbor_min = (
-                edges.join(labels, edges.src == labels.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("label").alias("nmin"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                    (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
-                    .alias("_changed"),
-                )
-                .persist()
-            )
-            changed = new_labels.filter(F.col("_changed")).count()
-            old = labels
-            labels = new_labels.drop("_changed").persist()
-            labels.count()
-            new_labels.unpersist()
-            old.unpersist()
-            if changed == 0:
-                break
-        if changed:
-            # exhausting max_iters with labels still moving means some
-            # component's diameter exceeds the round budget — returning
-            # here would silently split one duplicate cluster into
-            # several "canonical" groups
-            if algorithm == "auto":
-                labels.unpersist()
-                return _star_canonical(df, pairs, id_col, a_col, b_col)
-            raise RuntimeError(
-                f"near_dup_clusters did not converge in {max_iters} rounds "
-                f"({changed} labels still changing); a pair-graph component "
-                f"has diameter > max_iters — raise max_iters or use "
-                f"algorithm='star'"
-            )
-        return labels.select(
-            F.col("id").alias(id_col), F.col("label").alias("canonical_id")
+    changed = 0
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
         )
-    finally:
-        edges.unpersist()
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    if changed:
+        # exhausting max_iters with labels still moving means some
+        # component's diameter exceeds the round budget — returning
+        # here would silently split one duplicate cluster into
+        # several "canonical" groups
+        if algorithm == "auto":
+            return _star_canonical(df, pairs, id_col, a_col, b_col)
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); a pair-graph component "
+            f"has diameter > max_iters — raise max_iters or use "
+            f"algorithm='star'"
+        )
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("canonical_id")
+    )
 
 
 def _star_canonical(
