@@ -134,9 +134,11 @@ VERDICTS = {
         "a production path — minhash_lsh is the scale twin"
     ),
     "dedup_cluster_canonical": (
-        "clean — label-propagation rounds shuffle only (long,long) labels "
-        "(driver-materialized per round, edges persisted once); the shown "
-        "plan is the final cached-label select"
+        "clean — label-propagation rounds shuffle only (long,long) labels; "
+        "every round localCheckpoints (lineage truncated to a leaf — "
+        "persist alone grew plan descriptions 2^rounds), with auto-"
+        "escalation to O(log n) star rounds on deep graphs; the shown "
+        "plan is the final checkpointed-label select"
     ),
     "curation_decontaminate": (
         "clean — bench window-hash set broadcast into the corpus probe, "
