@@ -26,10 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def load_dict(spark: SparkSession, dicts_path: str, name: str) -> DataFrame | None:
+    # the store is local-fs by contract (save_dict swaps with os.rename),
+    # so probe existence first: resolving a missing path through
+    # spark.read costs a full analysis pass and logs a WARN stack trace
+    # (FileStreamSink.hasMetadata) on every first-epoch load
     for suffix in ("", "_old"):
+        path = f"{dicts_path}/{name}{suffix}"
+        if not os.path.exists(path):
+            continue
         try:
-            return spark.read.parquet(f"{dicts_path}/{name}{suffix}")
-        except Exception:  # noqa: BLE001 — missing version
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — racing swap; try the fallback
             continue
     return None
 
