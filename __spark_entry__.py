@@ -28,6 +28,7 @@ from clp_core_spark.operators import (
     encode_pipeline,
     kql,
     route,
+    sampling,
     search,
     semistructured,
     similarity,
@@ -404,24 +405,6 @@ def _q_sink_counts_events(spark, sf_dir):
     enc, lt, vd, keys = _encoded(spark, sf_dir, "events")
     return enc.groupBy(F.col("event_type").alias("sink_key")).agg(
         F.count("*").alias("row_count")
-    )
-
-
-def _q_count_by_time(spark, sf_dir):
-    """Reducer-style bucketed aggregate: CountOperator + a distinct-user
-    count in ONE two-phase plan (consolidates the former
-    agg_distinct_users row — same bucketing as aggregate.count_by_time,
-    clp/clo/OutputHandler.hpp:269-271)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
-    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
-    bucket = (epoch - F.pmod(epoch, F.lit(3_600_000))).alias("bucket_ts")
-    return (
-        ev.groupBy(bucket)
-        .agg(
-            F.count("*").alias("count"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .orderBy("bucket_ts")
     )
 
 
@@ -924,6 +907,30 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_split_sample(spark, sf_dir):
+    """Deterministic training-data mixing: per-language stratified
+    down-sampling (a rebalancing recipe over `lang`) composed with a
+    hash-keyed train/val/test split, reported as per-(split, lang)
+    document and char counts. Both decisions derive from md5 of doc_id
+    (operators/sampling.py), so the result is identical on any cluster
+    size / partitioning — the property randomSplit lacks — and the
+    DuckDB oracle recomputes the exact same buckets from SQL md5.
+    Replaces the former agg_count_by_time row in the registered 50:
+    bucketed counting stays covered by clp_search_count_by_time (the
+    CLP-native reducer form) and stream_count_by_time."""
+    d = _t(spark, sf_dir, "documents")
+    mix = sampling.stratified_sample(
+        d,
+        "doc_id",
+        {"en": 1.0, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 0.3},
+        strata_col="lang",
+    )
+    out = sampling.split_assign(mix, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 def _q_search_time_range(spark, sf_dir):
     """Dictionary search constrained to a ts range — CLP's time-range
     file/segment skip (clp/Query.cpp:123-138, clo.cpp:520-526) becomes a
@@ -1099,7 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_logtype_counts": _q_logtype_counts,
         "clp_dict_stats": _q_dict_stats,
         "clp_sink_counts_events": _q_sink_counts_events,
-        "agg_count_by_time": _q_count_by_time,
+        "curation_split_sample": _q_split_sample,
         "agg_topk_latest": _q_topk_latest,
         "join_enrich_nation": _q_enrich_join,
         "dedup_exact_docs": _q_dedup_exact,
@@ -1205,11 +1212,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS sink_key, count(*) AS row_count"
             " FROM events GROUP BY 1"
         ),
-        "agg_count_by_time": (
-            "SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS bucket_ts,"
-            " count(*) AS count, count(DISTINCT user_id) AS n_users"
-            " FROM events WHERE event_type = 'error'"
-            " GROUP BY 1 ORDER BY 1"
+        # the same md5-bucket arithmetic as operators/sampling.py:
+        # CAST(('0x'||substr(md5(salt||key),1,15)) AS BIGINT) % 1e6
+        "curation_split_sample": (
+            "WITH sb AS ("
+            " SELECT lang, n_chars,"
+            "  CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)),"
+            "   1, 15)) AS BIGINT) % 1000000 AS smp,"
+            "  CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),"
+            "   1, 15)) AS BIGINT) % 1000000 AS spl"
+            " FROM documents)"
+            " SELECT CASE WHEN spl < 800000 THEN 'train'"
+            "  WHEN spl < 900000 THEN 'val' ELSE 'test' END AS split,"
+            " lang, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM sb"
+            " WHERE smp < CASE lang WHEN 'en' THEN 1000000"
+            "  WHEN 'de' THEN 600000 WHEN 'es' THEN 600000"
+            "  WHEN 'fr' THEN 600000 WHEN 'zh' THEN 300000 ELSE 0 END"
+            " GROUP BY 1, 2"
         ),
         "agg_topk_latest": (
             "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events"

@@ -130,7 +130,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "clp_search_broad_dictvar",
         "clp_logtype_counts",
         "clp_sink_counts_events",
-        "agg_count_by_time",
+        "curation_split_sample",
         "agg_topk_latest",
         "join_enrich_nation",
         "dedup_exact_docs",

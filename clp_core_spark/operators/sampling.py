@@ -1,0 +1,127 @@
+"""Deterministic dataset splitting and stratified sampling for
+training-data curation.
+
+A training pipeline needs train/val/test splits and down-sampling that
+are **reproducible across cluster sizes and re-runs**. Spark's built-in
+``df.sample`` / ``randomSplit`` seed per PARTITION, so the selected row
+set changes whenever the partition layout does — a repartition, an AQE
+coalesce, or moving from 8 to 1000 executors silently reshuffles which
+documents land in the eval split (the classic train-on-your-eval-set
+leak). These operators instead derive every decision from a content
+hash of a caller-chosen key:
+
+* same input -> same output, on ANY cluster size, any partitioning;
+* splitting on a group key (``conv_id``) keeps every row of a
+  conversation in the same split — no dialogue straddles train/val;
+* pure codegen'd Column expressions — no shuffle, no Python, the
+  filter/projection fuses into whatever scan feeds it, so at 100 TB
+  the split costs exactly one md5 per row inside the existing pass.
+
+The hash is ``md5`` (not ``xxhash64``) so the exact same bucket values
+are computable in any other SQL engine — the DuckDB twin is
+``CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT)`` — making split
+membership auditable outside Spark. 15 hex digits = 60 bits, uniform,
+and always non-negative (no sign-handling divergence between dialects).
+
+Reference analog: the reference archives carry no notion of dataset
+splits (clp is a log store); this family exists for the
+training-data-pipeline surface of this repo (brief: curation operators
+are first-class alongside SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Fixed bucket resolution: fractions are quantized to 1e-6. A CONSTANT
+# (rather than a per-call parameter) means two jobs that split on the
+# same key+salt always agree on bucket boundaries, so a later job can
+# re-derive membership without knowing the first job's settings.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a content hash of
+    ``key`` (cast to string) prefixed with ``salt``. Distinct salts give
+    statistically independent bucketings of the same key — use one salt
+    for the split and another for sampling so "sampled 50%" stays 50%
+    within every split rather than aliasing against its boundaries."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(BUCKETS)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` assigning each row to a named split by the hash
+    bucket of ``key_col``. Weights must sum to 1 (±1e-9); boundaries are
+    half-open cumulative intervals in declaration order, so adding a new
+    tail split never moves rows between the existing ones."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    weights = dict(weights)
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < F.lit(int(round(acc * BUCKETS)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: float | Mapping[str, float],
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fractions`` share of rows — uniformly
+    (float) or per stratum (mapping over ``strata_col`` values, e.g.
+    up/down-weighting languages or sources when mixing a training set).
+    A row is kept iff its key's hash bucket falls below
+    ``fraction * BUCKETS``, so the kept set is stable across cluster
+    sizes AND monotone in the fraction: raising 10% to 20% only ADDS
+    documents, which keeps incremental re-mixes append-only at the
+    sink. Strata absent from the mapping are dropped (fraction 0) —
+    mixing recipes enumerate what they keep."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    if isinstance(fractions, Mapping):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions require strata_col")
+        for stratum, frac in fractions.items():
+            if not 0.0 <= frac <= 1.0:
+                raise ValueError(f"fraction for {stratum!r} not in [0,1]: {frac}")
+        threshold: Column = F.lit(0)
+        for stratum, frac in fractions.items():
+            threshold = (
+                F.when(
+                    F.col(strata_col) == F.lit(stratum),
+                    F.lit(int(round(frac * BUCKETS))),
+                ).otherwise(threshold)
+            )
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError(f"fraction not in [0,1]: {fractions}")
+        threshold = F.lit(int(round(fractions * BUCKETS)))
+    return df.filter(bucket < threshold)

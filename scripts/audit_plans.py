@@ -27,7 +27,10 @@ VERDICTS = {
         "AQE-coalesced"
     ),
     "clp_sink_counts_events": "clean — partial agg before the 1 shuffle",
-    "agg_count_by_time": "clean — filter pushed to scan, two-phase agg",
+    "curation_split_sample": (
+        "clean — md5 bucket exprs fuse into the scan projection; one "
+        "two-phase agg shuffle, no Python, partition-count independent"
+    ),
     "agg_topk_latest": "clean — TakeOrderedAndProject, no global sort",
     "join_enrich_nation": "clean — dims broadcast, fact never shuffles",
     "kql_bool_range": "clean — whole predicate pushed to the scan",
@@ -202,7 +205,7 @@ def main() -> None:
         "clp_search_time_range",
         "clp_search_broad_dictvar",
         "clp_sink_counts_events",
-        "agg_count_by_time",
+        "curation_split_sample",
         "agg_topk_latest",
         "join_enrich_nation",
         "kql_bool_range",

@@ -22,7 +22,7 @@ def test_oracle_sql_mentions_only_registered_views():
     ctes = {
         "h", "sh", "pairs", "sig", "q", "lines", "cells", "a", "probe",
         "reps", "nd", "bad", "edges", "reach",
-        "toks", "w", "dup", "isl", "hits", "grams", "bench",
+        "toks", "w", "dup", "isl", "hits", "grams", "bench", "sb",
     }
     for name, sql in entry.oracle_sql().items():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))

@@ -1,0 +1,124 @@
+"""Deterministic split/sample invariants: partition-independence (the
+property df.sample lacks), group integrity, DuckDB hash parity,
+monotone sampling, and strata handling."""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from clp_core_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"conv-{i % 37:04d}", ["en", "de", "fr"][i % 3], 10 + i % 90)
+        for i in range(1200)
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "conv_id", "lang", "n_chars"]
+    ).persist()
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    """The documented cross-engine contract: Spark's bucket equals
+    DuckDB's 0x-cast md5 form for string and integer keys."""
+    df = spark.createDataFrame(
+        [("abc",), ("conv-0001",), ("",), ("7",)], ["k"]
+    )
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", sampling.hash_bucket(F.col("k"), salt="s").alias("b")
+        ).collect()
+    }
+    for k, b in got.items():
+        want = duckdb.sql(
+            "SELECT CAST(('0x' || substr(md5('s' || ?), 1, 15)) AS BIGINT)"
+            f" % {sampling.BUCKETS}",
+            params=[k],
+        ).fetchone()[0]
+        assert b == want, k
+
+
+def test_split_partition_independent(docs):
+    """Identical assignment regardless of partition layout — the exact
+    failure mode of seed-per-partition randomSplit."""
+    a = sampling.split_assign(docs.repartition(2), "doc_id")
+    b = sampling.split_assign(docs.repartition(16, "lang"), "doc_id")
+    assert a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")
+    ).isEmpty()
+
+
+def test_split_conv_integrity_and_coverage(docs):
+    """Splitting on conv_id: every conversation lands whole in ONE
+    split, every row is assigned, and all splits are populated."""
+    out = sampling.split_assign(
+        docs, "conv_id", {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    straddlers = (
+        out.groupBy("conv_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert straddlers.isEmpty()
+    by_split = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert set(by_split) == {"train", "val", "test"}
+    assert sum(by_split.values()) == 1200
+
+
+def test_split_weights_validated(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.split_assign(docs, "doc_id", {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="at least one"):
+        sampling.split_assign(docs, "doc_id", {})
+
+
+def test_sample_monotone_and_partition_independent(docs):
+    """Raising the fraction only ADDS rows; the kept set ignores
+    partitioning; the realized rate is near the target."""
+    keep10 = sampling.stratified_sample(docs, "doc_id", 0.10)
+    keep30 = sampling.stratified_sample(
+        docs.repartition(13, "conv_id"), "doc_id", 0.30
+    )
+    assert keep10.select("doc_id").exceptAll(
+        keep30.select("doc_id")
+    ).isEmpty()
+    n10, n30 = keep10.count(), keep30.count()
+    assert 0.05 * 1200 < n10 < 0.15 * 1200
+    assert 0.24 * 1200 < n30 < 0.36 * 1200
+
+
+def test_stratified_fractions_and_absent_strata(docs):
+    """Per-stratum rates are honored and unlisted strata drop to 0."""
+    out = sampling.stratified_sample(
+        docs, "doc_id", {"en": 1.0, "de": 0.25}, strata_col="lang"
+    )
+    rates = dict(
+        out.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert rates.get("en") == 400  # 1200/3 per lang, frac 1.0 keeps all
+    assert "fr" not in rates
+    assert 0.10 * 400 < rates.get("de", 0) < 0.45 * 400
+    with pytest.raises(ValueError, match="strata_col"):
+        sampling.stratified_sample(docs, "doc_id", {"en": 0.5})
+    with pytest.raises(ValueError, match="not in"):
+        sampling.stratified_sample(docs, "doc_id", 1.5)
+
+
+def test_split_then_sample_independent_salts(docs):
+    """The sample salt is independent of the split salt: sampling 50%
+    keeps ~50% of EACH split, not an aliased band of one of them."""
+    out = sampling.stratified_sample(
+        sampling.split_assign(docs, "doc_id", {"a": 0.5, "b": 0.5}),
+        "doc_id",
+        0.5,
+    )
+    rates = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    for s in ("a", "b"):
+        assert 0.35 * 600 < rates.get(s, 0) < 0.65 * 600, rates
