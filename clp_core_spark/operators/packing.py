@@ -1,0 +1,137 @@
+"""Sequence packing: assign documents to fixed-capacity training
+sequences (the pre-tokenization batch-construction step of an LLM data
+pipeline — e.g. Raffel et al. 2020 §2.3 pack examples to seq_len to
+avoid padding waste).
+
+Bin packing is inherently sequential, so the distributed form must
+decide WHERE the sequential part runs. Design:
+
+1. **Hash-partition documents into pack groups** by a deterministic
+   md5 bucket of the document id (sampling.hash_bucket) — NOT by Spark
+   partition. Group membership is therefore independent of cluster
+   size, partition layout, and input order: the same corpus packs into
+   the same sequences on 8 cores or 1000 executors.
+2. **Pack within each group** with first-fit-decreasing over the
+   group's (n_tokens desc, id) order — deterministic, and within 22%
+   of optimal fill by FFD's classic guarantee. The per-group work is a
+   numpy loop over the group's documents inside one applyInPandas
+   call; scale comes from group COUNT (choose num_groups so a group
+   holds a few thousand docs), never from a bigger sequential scan.
+
+Only (id, n_tokens) pairs shuffle — document text never moves; the
+output is a routing table (id -> sequence) that a later pass joins
+back to the corpus. Cross-group packing loss is bounded: at most one
+underfull tail sequence per group, so the global fill ratio is
+>= 1 - groups * seq_len / total_tokens of optimal.
+
+Documents longer than ``seq_len`` cannot fit any sequence; they are
+returned with ``seq_id`` null and ``overlong`` true so the caller
+chooses chunking or dropping explicitly (silent truncation here would
+corrupt the corpus accounting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from clp_core_spark.operators.sampling import hash_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    num_groups: int = 1024,
+    salt: str = "pack",
+) -> DataFrame:
+    """Routing table (id_col, n_tokens, pack_group, seq_id, overlong):
+    every non-overlong document is assigned to exactly one sequence;
+    each sequence's token sum is <= seq_len. ``seq_id`` is globally
+    unique (pack_group * 2^32 + index-within-group)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if num_groups <= 0:
+        raise ValueError(f"num_groups must be positive, got {num_groups}")
+    slim = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        (hash_bucket(F.col(id_col), salt) % num_groups).alias("pack_group"),
+    )
+    out_schema = StructType.fromDDL(
+        "_id string, n_tokens long, pack_group int, seq_id long, overlong boolean"
+    )
+    # ids travel as strings through the kernel so one kernel serves any
+    # id type; the join-back below restores the caller's type exactly
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = int(pdf["pack_group"].iloc[0])
+        # FFD: stable order by (tokens desc, id) makes the packing a
+        # pure function of the group's CONTENT
+        pdf = pdf.sort_values(
+            ["n_tokens", "_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        n = np.asarray(pdf["n_tokens"], dtype=np.int64)
+        overlong = n > seq_len
+        seq_ids = np.full(len(pdf), -1, dtype=np.int64)
+        resid = np.empty(len(pdf), dtype=np.int64)  # capacity left per bin
+        n_bins = 0
+        base = group << 32
+        for i in np.nonzero(~overlong)[0]:
+            need = n[i]
+            fit = np.nonzero(resid[:n_bins] >= need)[0]
+            if len(fit):
+                b = fit[0]
+            else:
+                b = n_bins
+                resid[b] = seq_len
+                n_bins += 1
+            resid[b] -= need
+            seq_ids[i] = base + b
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"].astype(str),
+                "n_tokens": n,
+                "pack_group": group,
+                "seq_id": pd.array(
+                    [None if s < 0 else s for s in seq_ids], dtype="Int64"
+                ),
+                "overlong": overlong,
+            }
+        )
+
+    packed = (
+        slim.withColumn("_id", F.col("_id").cast("string"))
+        .groupBy("pack_group")
+        .applyInPandas(_pack, out_schema)
+    )
+    return packed.select(
+        F.col("_id").cast(id_type).alias(id_col),
+        "n_tokens",
+        "pack_group",
+        "seq_id",
+        "overlong",
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """One-row audit of a pack_sequences result: sequence count, packed
+    token count, mean fill ratio, and overlong count — the numbers a
+    pipeline asserts on before writing training batches."""
+    per_seq = (
+        packed.filter(~F.col("overlong"))
+        .groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("_fill"))
+    )
+    return per_seq.agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("_fill").alias("packed_tokens"),
+        (F.avg("_fill") / F.lit(float(seq_len))).alias("mean_fill_ratio"),
+    ).crossJoin(
+        packed.filter(F.col("overlong")).agg(F.count("*").alias("n_overlong"))
+    )
