@@ -1471,8 +1471,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
         # pos - row_number, exactly the operator's plan
         "dedup_duplicate_spans": (
             "WITH toks AS ("
-            " SELECT doc_id, string_split(text, ' ') AS t FROM documents"
-            " WHERE len(string_split(text, ' ')) >= 8),"
+            " SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+            " FROM documents"
+            " WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8),"
             " w AS ("
             " SELECT doc_id, pos,"
             " array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS win"

@@ -440,7 +440,11 @@ def _simhash_udf(token_hashes: pd.Series) -> pd.Series:
     import numpy as np
 
     n = len(token_hashes)
-    out = np.zeros(n, dtype=np.int64)
+    # docs with NO shingles get a NULL signature, never a shared zero:
+    # a common degenerate signature would put every short doc in one
+    # blocking bucket (quadratic self-join) and report all of them as
+    # mutual near-dups at hamming 0
+    out = pd.array([None] * n, dtype="Int64")
     lens = np.fromiter(
         (len(h) if h is not None else 0 for h in token_hashes),
         dtype=np.int64, count=n,
@@ -492,7 +496,11 @@ def simhash(
             F.col("_text")
         ).alias("_shh"),
     )
-    return feats_df.select(F.col(id_col), _simhash_udf(F.col("_shh")).alias("simhash"))
+    # shingle-less docs (fewer than shingle_n tokens) are excluded, the
+    # same contract as the minhash path: there is nothing to compare
+    return feats_df.select(
+        F.col(id_col), _simhash_udf(F.col("_shh")).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
 
 
 def _popcount64(c: Column) -> Column:
@@ -590,15 +598,23 @@ def connected_components(
     ``max_rounds`` (default 60 >> 2*log2(any realistic corpus)) guards
     a logic error from looping forever — exceeding it raises rather
     than returning split components."""
-    e = (
+    # checkpoint BEFORE dropping self-loops: a node whose only pair is
+    # (x, x) still owns a contract row, and the node set must come from
+    # this materialization, not from re-running the pairs lineage
+    e0 = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("lo"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
         )
-        .filter(F.col("lo") != F.col("hi"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = (
+        e0.select(F.col("lo").alias("id"))
+        .unionByName(e0.select(F.col("hi").alias("id")))
+        .distinct()
+    )
+    e = e0.filter(F.col("lo") != F.col("hi"))
     n_old = e.count()
     for _ in range(max_rounds):
         symm = e.select(
@@ -640,11 +656,16 @@ def connected_components(
         ).isEmpty()
         e, n_old = new_e, n_new
         if stable:
-            return e.select(
+            star = e.select(
                 F.col("hi").alias("id"), F.col("lo").alias("label")
             ).unionByName(
                 e.select(F.col("lo").alias("id"), F.col("lo").alias("label"))
             ).distinct()
+            # left join back onto the FULL node set: self-pair-only
+            # nodes have no star edge and label themselves
+            return nodes.join(star, "id", "left").select(
+                "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
+            )
     raise RuntimeError(
         f"connected_components did not stabilize in {max_rounds} "
         "alternating star rounds — this exceeds the algorithm's "
@@ -744,7 +765,13 @@ def near_dup_clusters(
         # here would silently split one duplicate cluster into
         # several "canonical" groups
         if algorithm == "auto":
-            return _star_canonical(df, pairs, id_col, a_col, b_col)
+            # escalate FROM THE CHECKPOINTED EDGES, not the raw pairs:
+            # pairs is typically a multi-stage LSH candidate+verify
+            # pipeline, and re-deriving it inside connected_components
+            # would run that whole job a second time
+            return _star_canonical(
+                df, edges, id_col, a_col="src", b_col="dst"
+            )
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still changing); a pair-graph component "
@@ -875,9 +902,15 @@ def duplicate_spans(
     slim = fan_out(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
+    # split_ws: tokenize on whitespace RUNS like the rest of the
+    # curation family — single-space splitting misses a boilerplate
+    # paragraph re-pasted with newline/double-space separators and
+    # emits empty-string tokens that corrupt the span offsets
     wins = slim.select(
         "_id",
-        F.posexplode(_window_hash_udf(k)(F.col("_text"))).alias("_pos", "_wh"),
+        F.posexplode(
+            _window_hash_udf(k, split_ws=True)(F.col("_text"))
+        ).alias("_pos", "_wh"),
     )
     dup_hashes = (
         wins.groupBy("_wh")

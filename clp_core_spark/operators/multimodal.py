@@ -735,6 +735,17 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
     )
 
 
+def _to_u8_scale(px: np.ndarray) -> np.ndarray:
+    """Present samples on the 0-255 scale regardless of source depth.
+    decode_png keeps uint16 for 16-bit images (no precision thrown
+    away); stats/features over a mixed-depth corpus must still share
+    one scale or the deep images dominate every distance/stat.
+    65535/257 == 255 exactly, so 8-bit inputs are untouched."""
+    if px.dtype == np.uint16:
+        return px.astype(np.float32) / np.float32(257.0)
+    return px.astype(np.float32)
+
+
 def image_stats(
     df: DataFrame,
     id_col: str = "id",
@@ -760,8 +771,8 @@ def image_stats(
                 pdf[w_col].to_numpy(), pdf[h_col].to_numpy(),
                 pdf[c_col].to_numpy(),
             ):
-                px = decode_image(
-                    bytes(buf), int(w), int(h), int(c), fake=fake_decode
+                px = _to_u8_scale(
+                    decode_image(bytes(buf), int(w), int(h), int(c), fake=fake_decode)
                 ).astype(np.float64)
                 ids.append(int(i))
                 means.append(px.mean(axis=(0, 1)).astype(np.float32).tolist())
@@ -795,7 +806,7 @@ def image_resize_features(
                 px = decode_image(bytes(buf), int(w), int(h), int(c), fake=fake_decode)
                 ys = (np.arange(th) * px.shape[0] // th).astype(int)
                 xs = (np.arange(tw) * px.shape[1] // tw).astype(int)
-                small = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                small = _to_u8_scale(px[np.ix_(ys, xs)]) / np.float32(255.0)
                 ids.append(int(i))
                 feats.append(small.ravel().tolist())
             yield pd.DataFrame({id_col: ids, "feature": feats})
@@ -970,7 +981,7 @@ def frame_features(
                     px = decode_image(seed, int(w), int(h), int(c), fake=True)
                 ys = (np.arange(th) * px.shape[0] // th).astype(int)
                 xs = (np.arange(tw) * px.shape[1] // tw).astype(int)
-                small = px[np.ix_(ys, xs)].astype(np.float32) / 255.0
+                small = _to_u8_scale(px[np.ix_(ys, xs)]) / np.float32(255.0)
                 ids.append(int(i))
                 fidx.append(int(fi))
                 fts.append(int(ts))

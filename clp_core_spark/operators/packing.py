@@ -50,9 +50,13 @@ def pack_sequences(
     salt: str = "pack",
 ) -> DataFrame:
     """Routing table (id_col, n_tokens, pack_group, seq_id, overlong):
-    every non-overlong document is assigned to exactly one sequence;
-    each sequence's token sum is <= seq_len. ``seq_id`` is globally
-    unique (pack_group * 2^32 + index-within-group)."""
+    every packable document is assigned to exactly one sequence; each
+    sequence's token sum is <= seq_len. ``seq_id`` is globally unique
+    (pack_group * 2^32 + index-within-group). ``overlong`` marks any
+    document that CANNOT be packed — n_tokens > seq_len, NULL, or
+    negative (a NULL/corrupt count must surface like an overlong doc
+    does, not kill the job in the kernel or quietly overfill a bin by
+    "consuming" negative capacity)."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if num_groups <= 0:
@@ -76,8 +80,10 @@ def pack_sequences(
         pdf = pdf.sort_values(
             ["n_tokens", "_id"], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
-        n = np.asarray(pdf["n_tokens"], dtype=np.int64)
-        overlong = n > seq_len
+        nt = pdf["n_tokens"]
+        bad = nt.isna().to_numpy()
+        n = nt.fillna(-1).to_numpy(dtype=np.int64)
+        overlong = bad | (n < 0) | (n > seq_len)
         seq_ids = np.full(len(pdf), -1, dtype=np.int64)
         resid = np.empty(len(pdf), dtype=np.int64)  # capacity left per bin
         n_bins = 0
@@ -96,7 +102,7 @@ def pack_sequences(
         return pd.DataFrame(
             {
                 "_id": pdf["_id"].astype(str),
-                "n_tokens": n,
+                "n_tokens": nt.astype("Int64"),
                 "pack_group": group,
                 "seq_id": pd.array(
                     [None if s < 0 else s for s in seq_ids], dtype="Int64"

@@ -67,7 +67,13 @@ def split_assign(
     """Add ``out_col`` assigning each row to a named split by the hash
     bucket of ``key_col``. Weights must sum to 1 (±1e-9); boundaries are
     half-open cumulative intervals in declaration order, so adding a new
-    tail split never moves rows between the existing ones."""
+    tail split never moves rows between the existing ones.
+
+    Rows with a NULL key get a NULL split — never a real one. Falling
+    through to the last declared split would silently pile every
+    unkeyed row (bad parses are common in real corpora) into exactly
+    the eval split this module exists to keep clean; the caller must
+    decide what a keyless row means."""
     if weights is None:
         weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     weights = dict(weights)
@@ -86,7 +92,9 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, expr)
+    return df.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), expr)
+    )
 
 
 def stratified_sample(
@@ -104,7 +112,9 @@ def stratified_sample(
     sizes AND monotone in the fraction: raising 10% to 20% only ADDS
     documents, which keeps incremental re-mixes append-only at the
     sink. Strata absent from the mapping are dropped (fraction 0) —
-    mixing recipes enumerate what they keep."""
+    mixing recipes enumerate what they keep. Rows with a NULL key are
+    dropped too (a NULL bucket passes no threshold): an unkeyed row has
+    no stable membership, so no fraction can honestly include it."""
     bucket = hash_bucket(F.col(key_col), salt)
     if isinstance(fractions, Mapping):
         if strata_col is None:

@@ -203,6 +203,51 @@ def test_connected_components_star_matches_union_find(spark):
         assert got == {x: oracle[x] for x in touched}, f"trial={trial}"
 
 
+def test_connected_components_self_pair_only_node(spark):
+    """Contract: every node appearing in `pairs` gets a row — including
+    one whose only pair is reflexive (x, x), which owns no real edge."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["label"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_simhash_excludes_shingleless_docs(spark):
+    """Docs with fewer than shingle_n tokens carry no signal; they must
+    be EXCLUDED, not given a shared degenerate signature — a common
+    signature would bucket every short doc together (quadratic
+    self-join) and report all of them as hamming-0 near-dups."""
+    df = spark.createDataFrame(
+        [(0, "foo bar"), (1, "hello world"), (2, ""), (3, None),
+         (4, BASE), (5, BASE)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.simhash(df, shingle_n=3)
+    assert {r["doc_id"] for r in sigs.collect()} == {4, 5}
+    pairs = dedup.simhash_near_pairs(df, max_hamming=3, shingle_n=3)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(4, 5)]
+
+
+def test_duplicate_spans_whitespace_run_separators(spark):
+    """A boilerplate paragraph pasted with newline / double-space
+    separators in one doc and single spaces in another is the same
+    token sequence — tokenization is whitespace-RUN based like the
+    rest of the curation family, so the span is still found."""
+    boiler = "all rights reserved contact the site administrator for terms"
+    a = "unique preface words here " + boiler
+    b = "other document text\n" + boiler.replace(" reserved ", "  reserved\t")
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_spans(df, k=9).collect()
+    assert {r["doc_id"] for r in spans} == {0, 1}
+    by_id = {r["doc_id"]: r for r in spans}
+    assert by_id[0]["span_tokens"] == 9  # the 9-token boilerplate
+    assert by_id[0]["span_start"] == 4  # after the 4 preface tokens
+
+
 def test_near_dup_clusters_star_algorithm(spark):
     """algorithm='star' goes straight to the star components and keeps
     the output contract (every df row labeled; singletons themselves)."""

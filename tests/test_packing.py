@@ -73,6 +73,22 @@ def test_overlong_isolated(spark):
     assert rows[3]["seq_id"] is not None
 
 
+def test_null_and_negative_counts_flagged_not_fatal(spark):
+    """A NULL n_tokens must not kill the kernel (pandas delivers it as
+    NaN) and a negative count must not 'free' bin capacity — both are
+    flagged unpackable like overlong docs."""
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, -7), (4, 60)],
+        "doc_id long, n_tokens long",
+    )
+    out = packing.pack_sequences(df, "doc_id", "n_tokens", seq_len=100)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["overlong"] and rows[2]["seq_id"] is None
+    assert rows[2]["n_tokens"] is None  # the corrupt value is not rewritten
+    assert rows[3]["overlong"] and rows[3]["seq_id"] is None
+    assert rows[1]["seq_id"] is not None and rows[4]["seq_id"] is not None
+
+
 def test_matches_local_ffd_oracle(spark):
     """Single group -> the whole packing is one FFD run; compare the
     (doc -> bin) assignment against an independent local FFD."""

@@ -109,6 +109,21 @@ def test_stratified_fractions_and_absent_strata(docs):
         sampling.stratified_sample(docs, "doc_id", 1.5)
 
 
+def test_null_keys_never_pollute_a_split(spark):
+    """A NULL key gets a NULL split (never the last declared split —
+    that would pile every bad parse into the eval set) and is dropped
+    by stratified_sample (no stable membership, no honest fraction)."""
+    df = spark.createDataFrame(
+        [("a", "en"), (None, "en"), ("b", "de")], "k string, lang string"
+    )
+    out = sampling.split_assign(df, "k")
+    nulls = out.filter(F.col("k").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["split"] is None
+    assert out.filter(F.col("k").isNotNull() & F.col("split").isNull()).isEmpty()
+    kept = sampling.stratified_sample(df, "k", 1.0)
+    assert {r["k"] for r in kept.collect()} == {"a", "b"}
+
+
 def test_split_then_sample_independent_salts(docs):
     """The sample salt is independent of the split salt: sampling 50%
     keeps ~50% of EACH split, not an aliased band of one of them."""

@@ -561,6 +561,29 @@ def test_png_16bit_decodes_for_real():
         assert (got == px).all(), f"nch={nch}"
 
 
+def test_16bit_png_features_share_the_8bit_scale(spark):
+    """A 16-bit PNG's stats/features sit on the SAME 0-255 / [0,1]
+    scale as 8-bit images (samples /257 before stats) — without the
+    rescale a mixed-depth corpus gets features 257x apart and the deep
+    images dominate every ANN distance."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 65536, size=(6, 4, 1)).astype(np.uint16)
+    raw = _png_bytes_full(px, 16, 0, 0, filters=[0, 1, 2])
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), 4, 6, 1)],
+        "id long, data binary, width int, height int, channels int",
+    )
+    [r] = multimodal.image_stats(df, fake_decode=False).collect()
+    want = (px.astype(np.float64) / 257.0)[:, :, 0]
+    assert abs(r["mean"][0] - want.mean()) < 1e-3
+    [f] = multimodal.image_resize_features(
+        df, target=(2, 2), fake_decode=False
+    ).collect()
+    assert all(0.0 <= v <= 1.0 for v in f["feature"])
+
+
 def test_png_subbyte_depths_decode_for_real():
     """1/2/4-bit gray (MSB-first packing, byte-padded rows, samples
     scaled to full 8-bit range) and 4-bit palette indices + tRNS."""
