@@ -91,6 +91,14 @@ def _in_list(words: list[str]) -> str:
 
 _STOP_SQL = _in_list(textstats.STOPWORDS_EN)
 
+# total PII hits across all kinds — the patterns are written in the
+# Java-regex/RE2 common subset (textstats.PII_PATTERNS), so the same
+# literals run identically in Spark and DuckDB
+_PII_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{p}'))"
+    for p in textstats.PII_PATTERNS.values()
+)
+
 _JACCARD_SQL = """
 WITH sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -440,11 +448,16 @@ def _q_dedup_exact(spark, sf_dir):
 
 def _q_text_analysis(spark, sf_dir):
     """The full text-analysis function suite in ONE projection — token
-    count, BPE-ish subtoken count, quality score, language ID, and the
-    rolling-hash fingerprint are all pure Column expressions, so a real
+    count, BPE-ish subtoken count, quality score, language ID, the
+    rolling-hash fingerprint, repetition metrics, the Gopher gate, and
+    the total PII hit count are all pure Column expressions, so a real
     pipeline computes them in a single corpus scan (one whole-stage
-    codegen pass; five separate jobs would scan the corpus five times)."""
+    codegen pass; separate jobs would scan the corpus once per stat)."""
     d = _t(spark, sf_dir, "documents")
+    pii = textstats.pii_counts(F.col("text"))
+    n_pii = None
+    for c in pii.values():
+        n_pii = c if n_pii is None else n_pii + c
     return d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
@@ -455,6 +468,7 @@ def _q_text_analysis(spark, sf_dir):
         textstats.dup_line_ratio(F.col("text")).alias("dup_line_ratio"),
         textstats.top_bigram_fraction(F.col("text")).alias("top_bigram_frac"),
         textstats.gopher_keep(F.col("text")).alias("keep"),
+        n_pii.alias("n_pii"),
     )
 
 
@@ -1283,7 +1297,8 @@ def oracle_sql() -> dict[str, str]:
             "  AND round(1.0 - len(list_distinct(string_split(text, chr(10))))"
             "   / greatest(len(string_split(text, chr(10))), 1), 6) <= 0.5"
             "  AND (len(regexp_extract_all(text, '[A-Za-z]'))"
-            "   / greatest(length(text), 1)) >= 0.4) AS keep"
+            "   / greatest(length(text), 1)) >= 0.4) AS keep,"
+            f" ({_PII_SQL}) AS n_pii"
             " FROM documents,"
             " LATERAL (SELECT list_transform("
             "   generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),"

