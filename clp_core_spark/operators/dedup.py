@@ -948,6 +948,51 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Excise the flagged duplicate spans from each document — the
+    rewrite step after :func:`duplicate_spans` (Lee et al. 2022 strip
+    the repeated substrings they find; this is the boilerplate-strip
+    form: EVERY occurrence goes, which is what a training pipeline
+    wants for navigation chrome / license footers. Keep-one-copy
+    semantics would need a cross-document canonical choice — compose
+    with near-dup clustering if that is the goal).
+
+    Pure Column evaluation: the per-doc span list rides in on one
+    left join (the spans relation covers only docs WITH duplicates, a
+    vanishing fraction at scale, so AQE broadcasts it), and the token
+    filter is a JVM higher-order function over the whitespace-run
+    token array — no Python, no second corpus pass. Offsets index the
+    SAME tokenization duplicate_spans used; the rewritten text is
+    single-space joined (whitespace runs are already not boundaries
+    for span semantics, so no information the span model sees is
+    lost)."""
+    per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    joined = df.join(per_doc, df[id_col] == per_doc["_sid"], "left").drop("_sid")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, " ")
+        ),
+    ).drop("_spans")
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (test-set n-gram overlap)
 

@@ -43,18 +43,24 @@ from pyspark.sql import Column, DataFrame
 BUCKETS = 1_000_000
 
 
+def hash60(key: Column, salt: str = "") -> Column:
+    """The raw 60-bit content hash (top 15 md5 hex digits) of ``key``
+    cast to string, prefixed with ``salt`` — always non-negative, and
+    recomputable in any SQL engine (see module doc)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Deterministic bucket in [0, BUCKETS) from a content hash of
     ``key`` (cast to string) prefixed with ``salt``. Distinct salts give
     statistically independent bucketings of the same key — use one salt
     for the split and another for sampling so "sampled 50%" stays 50%
     within every split rather than aliasing against its boundaries."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return h % F.lit(BUCKETS)
+    return hash60(key, salt) % F.lit(BUCKETS)
 
 
 def split_assign(
@@ -95,6 +101,19 @@ def split_assign(
     return df.withColumn(
         out_col, F.when(F.col(key_col).isNotNull(), expr)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Global reshuffle into a reproducible pseudo-random order — the
+    training-order shuffle before writing packed batches. Ordering by a
+    content hash of the key gives the same order on any cluster size /
+    input partitioning; the (hash, key) pair is a total order for
+    distinct keys, so ties in the 60-bit hash cannot reintroduce
+    input-order dependence. One range-partitioned sort; change
+    ``salt`` to draw a fresh epoch permutation."""
+    return df.orderBy(hash60(F.col(key_col), salt), F.col(key_col))
 
 
 def stratified_sample(

@@ -90,7 +90,7 @@ VERDICTS = {
         "intended — plan shown is the sink read-back agg; the encode runs "
         "in foreachBatch micro-batches (streaming/stream_pipeline.py)"
     ),
-    "text_analysis": "clean — five functions, one projection, one codegen pass",
+    "text_analysis": "clean — nine outputs incl. PII counts, one projection, one codegen pass",
     "clp_dict_stats": "clean — two scalar aggs cross-joined, broadcast",
     "clps_pure_or_search": (
         "clean — pure-predicate OR compiles to ONE disjunctive filter "

@@ -248,6 +248,25 @@ def test_duplicate_spans_whitespace_run_separators(spark):
     assert by_id[0]["span_start"] == 4  # after the 4 preface tokens
 
 
+def test_remove_duplicate_spans_excises_boilerplate(spark):
+    """The rewrite step: flagged spans vanish from every doc, untouched
+    docs keep their text verbatim, and the excision offsets line up
+    with duplicate_spans' own tokenization (whitespace runs)."""
+    boiler = "copyright acme corp all rights reserved worldwide forever"
+    a = "alpha beta gamma " + boiler + " delta"
+    b = boiler + "  epsilon\tzeta eta theta iota kappa"
+    c = "totally unrelated text with eight distinct tokens q w"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_spans(df, k=8)
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in dedup.remove_duplicate_spans(df, spans).collect()}
+    assert out[0] == "alpha beta gamma delta"
+    assert out[1] == "epsilon zeta eta theta iota kappa"
+    assert out[2] == c  # no spans -> byte-identical original
+
+
 def test_near_dup_clusters_star_algorithm(spark):
     """algorithm='star' goes straight to the star components and keeps
     the output contract (every df row labeled; singletons themselves)."""

@@ -124,6 +124,23 @@ def test_null_keys_never_pollute_a_split(spark):
     assert {r["k"] for r in kept.collect()} == {"a", "b"}
 
 
+def test_deterministic_shuffle_is_a_salted_permutation(docs):
+    """Same order regardless of input partitioning; a different salt
+    gives a different (but equally reproducible) permutation; nothing
+    is lost."""
+    a = [r["doc_id"] for r in
+         sampling.deterministic_shuffle(docs.repartition(3), "doc_id").collect()]
+    b = [r["doc_id"] for r in
+         sampling.deterministic_shuffle(
+             docs.repartition(11, "lang"), "doc_id").collect()]
+    assert a == b
+    assert sorted(a) == list(range(1200))
+    assert a != list(range(1200))  # actually shuffled
+    c = [r["doc_id"] for r in
+         sampling.deterministic_shuffle(docs, "doc_id", salt="epoch2").collect()]
+    assert c != a and sorted(c) == sorted(a)
+
+
 def test_split_then_sample_independent_salts(docs):
     """The sample salt is independent of the split salt: sampling 50%
     keeps ~50% of EACH split, not an aliased band of one of them."""
