@@ -110,9 +110,13 @@ def dup_line_ratio(text: Column) -> Column:
 
 def top_bigram_fraction(text: Column) -> Column:
     """Fraction of all word bigrams taken by the single most common one
-    (Gopher's top-n-gram repetition filter at n=2). Pure Column HOFs —
-    O(distinct x total) per row, still JVM-side and fine for documents;
-    the SQL twin mirrors the same list arithmetic. Texts with < 2 tokens
+    (Gopher's top-n-gram repetition filter at n=2). Pure Column HOFs,
+    O(n log n) per row: sort the gram array once, then one aggregate()
+    pass tracks the longest equal-run — the max run in sorted order IS
+    the max count. (The naive distinct x total filter form is ~10^10
+    string compares for one 100k-token doc, which gopher_keep's length
+    gate admits.) The SQL twin keeps the list-filter arithmetic — same
+    value, and the oracle corpus is small. Texts with < 2 tokens
     score 0."""
     toks = F.split(text, " ")
     k = F.size(toks) - 1
@@ -127,12 +131,28 @@ def top_bigram_fraction(text: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    run0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    max_count = F.aggregate(
+        F.array_sort(grams),
+        run0,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return F.when(F.size(grams) > 0, F.round(
-        F.array_max(counts) / F.size(grams), 6
+        max_count / F.size(grams), 6
     )).otherwise(F.lit(0.0))
 
 

