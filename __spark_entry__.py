@@ -183,6 +183,59 @@ def _ivf_topk_oracle_sql(dim: int = 64, nlist: int = 16, nprobe: int = 4,
     )
 
 
+def _pq_topk_oracle_sql(dim: int = 64, m: int = 8, ksub: int = 16,
+                        k: int = 10) -> str:
+    """DuckDB twin of similarity.pq_topk: the deterministic codebooks are
+    inlined as DOUBLE[] literals; per-subspace code = list_position of
+    the minimum list_distance (first-index ties, monotone with the
+    engine's squared-L2 argmin); the query-side lookup table is the same
+    subspace distances squared; ADC = the m LUT entries summed — an
+    oracle of the approximate algorithm itself, like the LSH/IVF twins."""
+    from clp_core_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m, ksub)
+    dsub = dim // m
+
+    def cent_lit(j: int, c: int) -> str:
+        return "[" + ", ".join(repr(x) for x in books[j][c]) + "]::DOUBLE[]"
+
+    def sub_slice(expr: str, j: int) -> str:
+        return f"({expr})[{j * dsub + 1}:{(j + 1) * dsub}]::DOUBLE[]"
+
+    enc_lists = ", ".join(
+        "list_value("
+        + ", ".join(
+            f"list_distance({sub_slice('e.embedding', j)}, {cent_lit(j, c)})"
+            for c in range(ksub)
+        )
+        + f") AS l{j}"
+        for j in range(m)
+    )
+    lut_lists = ", ".join(
+        "list_value("
+        + ", ".join(
+            f"power(list_distance({sub_slice('q.qe', j)},"
+            f" {cent_lit(j, c)}), 2)"
+            for c in range(ksub)
+        )
+        + f") AS t{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(
+        f"lut.t{j}[list_position(enc.l{j}, list_min(enc.l{j}))]"
+        for j in range(m)
+    )
+    return (
+        f"WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings"
+        " WHERE vec_id = 0),"
+        f" enc AS (SELECT e.vec_id, {enc_lists} FROM embeddings e"
+        " WHERE e.embedding IS NOT NULL),"
+        f" lut AS (SELECT {lut_lists} FROM q)"
+        f" SELECT vec_id, round({adc}, 6) AS adc_dist FROM enc, lut"
+        f" ORDER BY adc_dist, vec_id LIMIT {k}"
+    )
+
+
 def _cosine_pairs_oracle_sql(dim: int = 64, num_planes: int = 16,
                              max_hamming: int = 4,
                              threshold: float = 0.4) -> str:
@@ -296,9 +349,11 @@ def _q_roundtrip_docs(spark, sf_dir):
 
 def _q_roundtrip_text(spark, sf_dir):
     """Consolidated roundtrip row (driver keeps 50 query slots): the
-    documents-corpus and floats-corpus decode roundtrips union into one
-    corpus-tagged result — coverage identical to the former
-    clp_roundtrip_docs + clp_roundtrip_floats pair."""
+    documents-, floats- and events-corpus decode roundtrips union into
+    one corpus-tagged result — coverage identical to the former
+    clp_roundtrip_docs + clp_roundtrip_floats + clp_roundtrip_events
+    rows (the events arm folded in round 5 to free a slot for
+    sim_pq_topk)."""
     d = _q_roundtrip_docs(spark, sf_dir).select(
         F.lit("documents").alias("corpus"),
         F.col("doc_id").alias("rec_id"),
@@ -309,7 +364,12 @@ def _q_roundtrip_text(spark, sf_dir):
         F.col("event_id").alias("rec_id"),
         "text",
     )
-    return d.unionByName(fl)
+    ev = _q_roundtrip_events(spark, sf_dir).select(
+        F.lit("events").alias("corpus"),
+        F.col("event_id").alias("rec_id"),
+        "text",
+    )
+    return d.unionByName(fl).unionByName(ev)
 
 
 def _q_roundtrip_events(spark, sf_dir):
@@ -546,6 +606,17 @@ def _q_sim_ivf(spark, sf_dir):
     probe-cell ranking in SQL with inlined centroid literals."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_sim_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (the memory-scale ANN path: m
+    small-int codes per vector instead of the float array — at 100 TB
+    the code column is 16-32× smaller and scoring never reads the raw
+    embeddings). The oracle reproduces encode (per-subspace nearest
+    centroid via list_position/list_min over inlined codebook literals)
+    and the ADC lookup-table sum in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
@@ -1108,7 +1179,6 @@ def _q_dedup_duplicate_spans(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clp_roundtrip_text": _q_roundtrip_text,
-        "clp_roundtrip_events": _q_roundtrip_events,
         "clp_search_token": _q_search_token,
         "clp_search_int": _q_search_int,
         "clp_search_midstar": _q_search_midstar,
@@ -1131,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": _q_sim_bruteforce,
         "sim_lsh_topk": _q_sim_lsh,
         "sim_ivf_topk": _q_sim_ivf,
+        "sim_pq_topk": _q_sim_pq,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "clps_schema_meta": _q_clps_schema_meta,
         "clps_pure_or_search": _q_clps_pure_or,
@@ -1173,10 +1244,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'documents' AS corpus, doc_id AS rec_id, text"
             " FROM documents UNION ALL"
             f" SELECT 'floats' AS corpus, event_id AS rec_id,"
-            f" {_FLOAT_TEXT_SQL} AS text FROM events"
-        ),
-        "clp_roundtrip_events": (
-            f"SELECT event_id, {_EVENT_TEXT_SQL} AS text FROM events"
+            f" {_FLOAT_TEXT_SQL} AS text FROM events UNION ALL"
+            f" SELECT 'events' AS corpus, event_id AS rec_id,"
+            f" {_EVENT_TEXT_SQL} AS text FROM events"
         ),
         "clp_search_token": (
             "SELECT doc_id FROM documents WHERE text LIKE '%merge%'"
@@ -1335,6 +1405,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND doc_id % 10 = 0
 """,
         "sim_lsh_topk": _lsh_topk_oracle_sql(),
         "sim_ivf_topk": _ivf_topk_oracle_sql(),
+        "sim_pq_topk": _pq_topk_oracle_sql(),
         "dedup_embedding_cosine": _cosine_pairs_oracle_sql(),
         "sim_bruteforce_topk": (
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],"

@@ -311,3 +311,113 @@ def lsh_topk(
         F.round(cosine_sim(F.col(vec_col), qarr), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — asymmetric-distance top-k
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, ksub: int = 16
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``m`` sub-quantizers, each with
+    ``ksub`` centroids of width ``dim // m`` (seed space 20000+, disjoint
+    from the LSH planes and IVF centroids). Data-independent for the same
+    reason as ivf_centroids — both engines and the SQL oracle reproduce
+    them exactly; a k-means-trained codebook (sample → driver-side Lloyd
+    → broadcast, tiny either way: m*ksub*dsub floats) plugs into the same
+    encode/score expressions unchanged."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        [_hyperplane(dsub, 20000 + j * ksub + c) for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def pq_encode(vec_col: Column, dim: int, m: int = 8, ksub: int = 16) -> Column:
+    """PQ codes: split the vector into ``m`` subvectors and store, per
+    subvector, the index of the nearest codebook centroid by squared L2
+    (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011). Returns array<int> of length m; NULL vectors
+    get a NULL code (same rationale as hyperplane_signature). One
+    broadcasted ``(n, m, 1, dsub) - (m, ksub, dsub)`` numpy pass per
+    Arrow batch; argmin takes the FIRST minimum, matching the oracle's
+    list_position. At 100 TB the code column is the at-rest format: m
+    small ints per vector ≈ 16-32× smaller than the float32 array, and
+    search never reads the raw vectors."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = np.array(pq_codebooks(dim, m, ksub), dtype=np.float64)
+    dsub = dim // m
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=object)
+        idx = [i for i, v in enumerate(vecs) if v is not None]
+        if idx:
+            mat = np.vstack(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in idx]
+            )
+            sub = mat.reshape(mat.shape[0], m, dsub)
+            diff = sub[:, :, None, :] - books[None, :, :, :]
+            codes = np.einsum("nmkd,nmkd->nmk", diff, diff).argmin(axis=2)
+            for j, i in enumerate(idx):
+                out[i] = [int(x) for x in codes[j]]
+        return pd.Series(out)
+
+    return _enc(vec_col)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query builds an m × ksub
+    lookup table of exact subspace squared distances driver-side (pure
+    Python floats — tiny), and each row's approximate distance is m
+    literal-array lookups summed JVM-side: ``element_at(lut_j,
+    code[j]+1)`` chained with ``+`` — whole-stage codegen, no per-row
+    Python in the scoring scan, and once codes are materialized the scan
+    reads only (id, code), never the embedding column. Returns
+    (id, adc_dist) ascending (smaller = nearer), ties broken by id.
+    ADC ranks by L2 — equivalent to cosine order for unit-normalized
+    embeddings."""
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = pq_codebooks(dim, m, ksub)
+    q = [float(x) for x in query_vec]
+    lut: list[list[float]] = []
+    for j in range(m):
+        row = []
+        for c in range(ksub):
+            acc = 0.0
+            for d in range(dsub):
+                t = q[j * dsub + d] - books[j][c][d]
+                acc += t * t
+            row.append(acc)
+        lut.append(row)
+
+    coded = df.select(
+        F.col(id_col),
+        pq_encode(F.col(vec_col), dim, m, ksub).alias("_code"),
+    ).filter(F.col("_code").isNotNull())  # null vectors never rank
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]),
+            F.col("_code")[j] + F.lit(1),
+        )
+        score = term if score is None else score + term
+    out = coded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+    return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -23,6 +23,7 @@ def test_oracle_sql_mentions_only_registered_views():
         "h", "sh", "pairs", "sig", "q", "lines", "cells", "a", "probe",
         "reps", "nd", "bad", "edges", "reach",
         "toks", "w", "dup", "isl", "hits", "grams", "bench", "sb",
+        "enc", "lut",
     }
     for name, sql in entry.oracle_sql().items():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)", sql))

@@ -136,3 +136,92 @@ def test_null_embeddings_stay_null_and_pair_free(spark):
     ).collect()
     ids = {x for r in out for x in (r["id_a"], r["id_b"])}
     assert 100 not in ids and 101 not in ids
+
+
+def test_pq_encode_shape_and_determinism(embeddings):
+    codes = {
+        r["vec_id"]: r["c"]
+        for r in embeddings.select(
+            "vec_id",
+            similarity.pq_encode(F.col("embedding"), DIM, m=4, ksub=8).alias("c"),
+        ).collect()
+    }
+    assert all(len(c) == 4 for c in codes.values())
+    assert all(0 <= x < 8 for c in codes.values() for x in c)
+    codes2 = {
+        r["vec_id"]: r["c"]
+        for r in embeddings.select(
+            "vec_id",
+            similarity.pq_encode(F.col("embedding"), DIM, m=4, ksub=8).alias("c"),
+        ).collect()
+    }
+    assert codes == codes2
+
+
+def test_pq_exact_on_codebook_points(spark):
+    """Vectors built exactly from codebook centroid combinations have
+    zero quantization error, so the ADC distance IS the exact squared
+    L2 distance and PQ top-k must equal brute-force squared-L2 top-k."""
+    m, ksub = 4, 8
+    dsub = DIM // m
+    books = similarity.pq_codebooks(DIM, m=m, ksub=ksub)
+    rng = np.random.RandomState(7)
+    combos = [tuple(rng.randint(0, ksub, size=m)) for _ in range(60)]
+    vecs = [
+        [books[j][c[j]][d] for j in range(m) for d in range(dsub)]
+        for c in combos
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    q = vecs[0]
+    out = similarity.pq_topk(df, q, k=10, m=m, ksub=ksub).collect()
+    got = [(r["vec_id"], r["adc_dist"]) for r in out]
+
+    exact = sorted(
+        (
+            (i, round(float(sum((a - b) ** 2 for a, b in zip(v, q))), 6))
+            for i, v in enumerate(vecs)
+        ),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    assert got == exact
+    assert got[0] == (0, 0.0)  # the query itself, zero distance
+
+
+def test_pq_adc_correlates_with_true_distance(embeddings):
+    """On arbitrary (non-codebook) data ADC is approximate; assert the
+    ranking it induces is strongly rank-correlated with the true squared
+    L2 distance (Spearman > 0.5 on 200 random 16-dim vectors)."""
+    q = _vec(0)
+    out = similarity.pq_topk(embeddings, q, k=N, m=4, ksub=16).collect()
+    adc_rank = {r["vec_id"]: rank for rank, r in enumerate(out)}
+    qa = np.array(q)
+    true = []
+    for i in range(N):
+        v = np.array(
+            _vec(i) if i != 199 else [x + 0.01 for x in _vec(0)],
+            dtype=np.float32,
+        ).astype(np.float64)
+        true.append((i, float(((v - qa) ** 2).sum())))
+    true.sort(key=lambda t: t[1])
+    true_rank = {i: rank for rank, (i, _) in enumerate(true)}
+    n = len(true_rank)
+    d2 = sum((adc_rank[i] - true_rank[i]) ** 2 for i in adc_rank)
+    spearman = 1 - 6 * d2 / (n * (n * n - 1))
+    assert spearman > 0.5, spearman
+
+
+def test_pq_null_vectors_never_rank(spark):
+    rows = [(i, _vec(i)) for i in range(10)] + [(100, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            similarity.pq_encode(F.col("embedding"), DIM, m=4, ksub=8).alias("c"),
+        ).collect()
+    }
+    assert codes[100] is None and codes[0] is not None
+    out = similarity.pq_topk(df, _vec(0), k=20, m=4, ksub=8).collect()
+    assert 100 not in {r["vec_id"] for r in out}
