@@ -61,6 +61,32 @@ def count_by_time_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content digest (the same
+    64-bit xxhash the batch exact_dedup groups on) was already seen,
+    with per-digest state evicted once the event-time watermark passes
+    it (``dropDuplicatesWithinWatermark``) — state size is bounded by
+    the duplicate-arrival horizon, not the stream's lifetime, the only
+    exact-dedup contract that survives an unbounded 10^12-turn stream.
+
+    Semantics vs batch: the stream keeps the FIRST ARRIVAL per digest
+    (batch exact_dedup keeps the min-id row — on a stream the first
+    arrival is the only choice that needs no retraction), and two
+    duplicates more than ``watermark`` apart in event time are NOT
+    collapsed. At scale the periodic batch dedup over at-rest data is
+    the completeness pass; the stream guards the ingest window."""
+    return (
+        stream.withColumn("digest", F.xxhash64(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 SESSION_SCHEMA = (
     "conv_id string, session_start_ms long, session_end_ms long, n_turns long"
 )

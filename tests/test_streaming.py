@@ -269,3 +269,65 @@ def test_sessionize_stream_exact_cross_batch_late_merge(spark, tmp_path):
     }
     assert got == {("C", base, base + 30_000, 2),
                    ("C", base + 600_000, base + 610_000, 2)}
+
+
+def test_dedup_stream_drops_within_watermark_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving within the watermark
+    horizon are dropped (first arrival survives); distinct texts all
+    pass; the surviving digest set equals the batch exact-dedup digest
+    set over the same input."""
+    import datetime as dt
+
+    inp = str(tmp_path / "in")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    # batch 1: three distinct texts, one in-batch duplicate
+    spark.createDataFrame(
+        [
+            ("c1", 0, "user", "alpha beta", "none", t(0)),
+            ("c1", 1, "agent", "gamma delta", "none", t(10)),
+            ("c2", 0, "user", "alpha beta", "none", t(20)),  # dup of row 1
+            ("c2", 1, "agent", "epsilon", "none", t(30)),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    # batch 2 (second file => second micro-batch): a cross-batch
+    # duplicate within the watermark plus one new text
+    spark.createDataFrame(
+        [
+            ("c3", 0, "user", "gamma delta", "none", t(40)),  # cross-batch dup
+            ("c3", 1, "agent", "zeta", "none", t(50)),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = sp.read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    out = sp.dedup_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM dedup_stream_t").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha beta", "epsilon", "gamma delta", "zeta"]
+    # first arrival survives: alpha beta's survivor is the c1 row
+    survivor = {r["text"]: (r["conv_id"], r["turn_idx"]) for r in rows}
+    assert survivor["alpha beta"] == ("c1", 0)
+    assert survivor["gamma delta"] == ("c1", 1)
+    # digest set equals the batch exact-dedup digest set
+    batch = spark.read.parquet(inp).select(
+        F.xxhash64("text").alias("digest")
+    ).distinct()
+    assert {r["digest"] for r in rows} == {
+        r["digest"] for r in batch.collect()
+    }
