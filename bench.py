@@ -123,7 +123,7 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
 
     entry.warm_archives(spark, sf_dir)
     picks = [
-        "clp_roundtrip_events",
+        "clp_roundtrip_text",  # carries the former events roundtrip leg
         "clp_search_token",
         "clp_search_int",
         "clp_search_midstar",
@@ -147,6 +147,8 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
         "clp_rawtext_roundtrip",
         # round-5: exact-substring dedup (Arrow window-hash kernel)
         "dedup_duplicate_spans",
+        # round-5: PQ ADC top-k (code column + literal-LUT scoring)
+        "sim_pq_topk",
     ]
     qs = entry.queries()
     out = {}

@@ -336,7 +336,61 @@ def pq_codebooks(
     ]
 
 
-def pq_encode(vec_col: Column, dim: int, m: int = 8, ksub: int = 16) -> Column:
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 100_000,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Data-trained PQ codebooks: k-means (Lloyd) per subspace over a
+    bounded sample. The sample is the ONLY driver-side collect —
+    ``limit(sample)`` bounds it regardless of corpus size (at 100 TB,
+    100k × dim float64 ≈ 50 MB for dim=64) — and training is m
+    independent tiny k-means runs in numpy (seconds). The trained books
+    drop into pq_encode/pq_topk unchanged; seeding is deterministic
+    (centroids initialize from the deterministic pq_codebooks), so two
+    runs over the same sample produce identical books. Empty clusters
+    keep their previous centroid (the standard Lloyd fallback)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        return pq_codebooks(dim, m, ksub)
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    books = np.array(pq_codebooks(dim, m, ksub), dtype=np.float64)
+    sub = mat.reshape(mat.shape[0], m, dsub)
+    for j in range(m):
+        x = sub[:, j, :]  # (n, dsub)
+        cents = books[j].copy()  # (ksub, dsub)
+        for _ in range(iters):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ksub):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return [[[float(v) for v in c] for c in books[j]] for j in range(m)]
+
+
+def pq_encode(
+    vec_col: Column,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    books: list[list[list[float]]] | None = None,
+) -> Column:
     """PQ codes: split the vector into ``m`` subvectors and store, per
     subvector, the index of the nearest codebook centroid by squared L2
     (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
@@ -344,14 +398,19 @@ def pq_encode(vec_col: Column, dim: int, m: int = 8, ksub: int = 16) -> Column:
     get a NULL code (same rationale as hyperplane_signature). One
     broadcasted ``(n, m, 1, dsub) - (m, ksub, dsub)`` numpy pass per
     Arrow batch; argmin takes the FIRST minimum, matching the oracle's
-    list_position. At 100 TB the code column is the at-rest format: m
-    small ints per vector ≈ 16-32× smaller than the float32 array, and
-    search never reads the raw vectors."""
+    list_position. ``books`` defaults to the deterministic pq_codebooks
+    (SQL-reproducible); pass pq_train output for data-trained centroids.
+    At 100 TB the code column is the at-rest format: m small ints per
+    vector ≈ 16-32× smaller than the float32 array, and search never
+    reads the raw vectors."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType, IntegerType
 
-    books = np.array(pq_codebooks(dim, m, ksub), dtype=np.float64)
+    books = np.array(
+        books if books is not None else pq_codebooks(dim, m, ksub),
+        dtype=np.float64,
+    )
     dsub = dim // m
 
     @pandas_udf(ArrayType(IntegerType()))
@@ -380,6 +439,7 @@ def pq_topk(
     vec_col: str = "embedding",
     m: int = 8,
     ksub: int = 16,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: the query builds an m × ksub
     lookup table of exact subspace squared distances driver-side (pure
@@ -395,7 +455,8 @@ def pq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books = pq_codebooks(dim, m, ksub)
+    if books is None:
+        books = pq_codebooks(dim, m, ksub)
     q = [float(x) for x in query_vec]
     lut: list[list[float]] = []
     for j in range(m):
@@ -410,7 +471,7 @@ def pq_topk(
 
     coded = df.select(
         F.col(id_col),
-        pq_encode(F.col(vec_col), dim, m, ksub).alias("_code"),
+        pq_encode(F.col(vec_col), dim, m, ksub, books=books).alias("_code"),
     ).filter(F.col("_code").isNotNull())  # null vectors never rank
     score = None
     for j in range(m):

@@ -68,7 +68,11 @@ VERDICTS = {
         "the fused shingle-hash kernel + signature UDF + ONE chunk "
         "exchange reused by both sides + popcount"
     ),
-    "clp_roundtrip_events": "clean — decode joins broadcast the dicts",
+    "sim_pq_topk": (
+        "clean — one Arrow encode pass, ADC as literal-array lookups in "
+        "codegen, TakeOrderedAndProject; at scale the code column is the "
+        "at-rest search input and the embedding column never scans"
+    ),
     "clp_search_token": "clean — logtype probe + broadcast semi-join",
     "clp_search_midstar": "clean — same probe pipeline, residual rlike verify",
     "clp_search_regex": "clean — regex compiles to the wildcard pipeline",
@@ -108,8 +112,8 @@ VERDICTS = {
         "re-runs per side by design), one per-doc islands window"
     ),
     "clp_roundtrip_text": (
-        "clean — two broadcast-dict decode legs union; coverage twin of "
-        "the former docs+floats roundtrip pair"
+        "clean — three broadcast-dict decode legs union; coverage twin of "
+        "the former docs+floats+events roundtrip rows"
     ),
     # round-5: the registry tail (everything queries() registers is now
     # audited, not just the bench picks)
@@ -224,7 +228,7 @@ def main() -> None:
         "clp_schema_search",
         "dedup_simhash_prod",
         # every bench-timed query has an entry (VERDICT r3 item 5)
-        "clp_roundtrip_events",
+        "sim_pq_topk",
         "clp_search_token",
         "clp_search_midstar",
         "clp_search_regex",

@@ -225,3 +225,39 @@ def test_pq_null_vectors_never_rank(spark):
     assert codes[100] is None and codes[0] is not None
     out = similarity.pq_topk(df, _vec(0), k=20, m=4, ksub=8).collect()
     assert 100 not in {r["vec_id"] for r in out}
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    """Lloyd-trained codebooks must reconstruct the data better than the
+    data-independent deterministic ones (lower mean squared quantization
+    error), be deterministic across runs, and plug into pq_topk."""
+    m, ksub = 4, 8
+    dsub = DIM // m
+    rng = np.random.RandomState(11)
+    # clustered data: 5 gaussian blobs, where trained centroids win big
+    centers = rng.randn(5, DIM) * 3
+    vecs = [
+        [float(x) for x in centers[i % 5] + rng.randn(DIM) * 0.3]
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+
+    trained = similarity.pq_train(df, DIM, m=m, ksub=ksub, sample=300, iters=8)
+    trained2 = similarity.pq_train(df, DIM, m=m, ksub=ksub, sample=300, iters=8)
+    assert trained == trained2  # deterministic
+    base = similarity.pq_codebooks(DIM, m=m, ksub=ksub)
+
+    def mse(books):
+        b = np.array(books)
+        x = np.array(vecs).reshape(len(vecs), m, dsub)
+        d = ((x[:, :, None, :] - b[None, :, :, :]) ** 2).sum(axis=3)
+        return float(d.min(axis=2).sum(axis=1).mean())
+
+    assert mse(trained) < mse(base) * 0.5, (mse(trained), mse(base))
+
+    out = similarity.pq_topk(
+        df, vecs[0], k=5, m=m, ksub=ksub, books=trained
+    ).collect()
+    assert out[0]["vec_id"] == 0  # the query itself ranks first
