@@ -454,6 +454,37 @@ def pq_topk(
     dim = len(query_vec)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    coded = df.select(
+        F.col(id_col),
+        pq_encode(F.col(vec_col), dim, m, ksub, books=books).alias("_code"),
+    ).filter(F.col("_code").isNotNull())  # null vectors never rank
+    return pq_topk_coded(
+        coded, query_vec, k=k, id_col=id_col, code_col="_code",
+        m=m, ksub=ksub, books=books,
+    )
+
+
+def pq_topk_coded(
+    coded: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    m: int = 8,
+    ksub: int = 16,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ADC top-k over a PRE-MATERIALIZED code table — the at-rest shape:
+    the corpus's (id, pq_code) table is written once (pq_encode at ingest)
+    and every query scans only those two columns; the embedding column
+    never loads. Scoring is m ``element_at`` lookups into the query's
+    literal LUT arrays chained with ``+`` — pure whole-stage codegen, so
+    a 100 TB corpus's ANN query is one slim columnar scan + a bounded
+    per-partition top-k heap (TakeOrderedAndProject), no shuffle of
+    anything but k rows per partition."""
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     if books is None:
         books = pq_codebooks(dim, m, ksub)
@@ -469,16 +500,14 @@ def pq_topk(
             row.append(acc)
         lut.append(row)
 
-    coded = df.select(
-        F.col(id_col),
-        pq_encode(F.col(vec_col), dim, m, ksub, books=books).alias("_code"),
-    ).filter(F.col("_code").isNotNull())  # null vectors never rank
     score = None
     for j in range(m):
         term = F.element_at(
             F.array(*[F.lit(v) for v in lut[j]]),
-            F.col("_code")[j] + F.lit(1),
+            F.col(code_col)[j] + F.lit(1),
         )
         score = term if score is None else score + term
-    out = coded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+    out = coded.filter(F.col(code_col).isNotNull()).select(
+        F.col(id_col), F.round(score, 6).alias("adc_dist")
+    )
     return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -261,3 +261,32 @@ def test_pq_train_reduces_quantization_error(spark):
         df, vecs[0], k=5, m=m, ksub=ksub, books=trained
     ).collect()
     assert out[0]["vec_id"] == 0  # the query itself ranks first
+
+
+def test_pq_topk_coded_matches_inline_and_prunes_scan(spark, tmp_path):
+    """The at-rest path: materialize (id, pq_code) to parquet, search the
+    code table directly — same results as the inline pq_topk, and the
+    scan's ReadSchema must carry ONLY the id and code columns."""
+    m, ksub = 4, 8
+    rows = [(i, _vec(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "codes")
+    df.select(
+        "vec_id",
+        similarity.pq_encode(F.col("embedding"), DIM, m, ksub).alias("pq_code"),
+        F.col("embedding"),  # at rest next to the codes, never scanned
+    ).write.parquet(path)
+
+    coded = spark.read.parquet(path)
+    q = _vec(0)
+    got = similarity.pq_topk_coded(coded, q, k=10, m=m, ksub=ksub).collect()
+    want = similarity.pq_topk(df, q, k=10, m=m, ksub=ksub).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in got] == [
+        (r["vec_id"], r["adc_dist"]) for r in want
+    ]
+    plan = similarity.pq_topk_coded(
+        coded, q, k=10, m=m, ksub=ksub
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and all("embedding" not in s for s in schemas), schemas
