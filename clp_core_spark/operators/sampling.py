@@ -154,3 +154,55 @@ def stratified_sample(
             raise ValueError(f"fraction not in [0,1]: {fractions}")
         threshold = F.lit(int(round(fractions * BUCKETS)))
     return df.filter(bucket < threshold)
+
+
+def mixture_fractions(
+    counts: Mapping[str, int], weights: Mapping[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep fractions that realize a target mixture at the
+    LARGEST feasible output size without upsampling: with observed
+    counts n_s and normalized target weights w_s, the output size is
+    T = min_s(n_s / w_s) (the scarcest stratum relative to its target
+    binds and keeps 100%), and stratum s keeps w_s * T / n_s. Pure
+    driver-side arithmetic over the per-stratum counts (one distributed
+    groupBy-count away). Strata in ``counts`` but absent from
+    ``weights`` get fraction 0 — mixing recipes enumerate what they
+    keep (same contract as stratified_sample)."""
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items() if w > 0}
+    missing = [s for s in norm if counts.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"weighted strata with no rows: {missing}")
+    t = min(counts[s] / w for s, w in norm.items())
+    return {s: min(1.0, w * t / counts[s]) for s, w in norm.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    strata_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample to a target domain mixture (the training-set
+    source-reweighting step, à la the mixture tables in Gopher/LLaMA
+    data recipes): ``weights`` are target PROPORTIONS over
+    ``strata_col`` values; the result approximates them at the largest
+    size reachable without upsampling (the scarcest-relative-to-target
+    stratum keeps all its rows). One distributed groupBy-count fixes
+    the per-stratum fractions driver-side, then the deterministic
+    md5-bucket filter of stratified_sample applies them — membership is
+    stable across cluster sizes, monotone under weight increases for a
+    fixed binding stratum, and recomputable in any SQL engine. Exact
+    proportions hold in expectation; per-stratum realization error is
+    the usual O(1/sqrt(n_s)) bucket granularity."""
+    counts = {
+        r[strata_col]: r["count"]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    fracs = mixture_fractions(counts, weights)
+    return stratified_sample(
+        df, key_col, fracs, strata_col=strata_col, salt=salt
+    )

@@ -154,3 +154,49 @@ def test_split_then_sample_independent_salts(docs):
     )
     for s in ("a", "b"):
         assert 0.35 * 600 < rates.get(s, 0) < 0.65 * 600, rates
+
+
+def test_mixture_fractions_math():
+    # binding stratum (scarce relative to target) keeps everything
+    fr = sampling.mixture_fractions(
+        {"web": 1000, "code": 100, "chat": 400},
+        {"web": 0.5, "code": 0.25, "chat": 0.25},
+    )
+    # T = min(1000/.5, 100/.25, 400/.25) = 400; keeps: web 200/1000,
+    # code 100/100, chat 100/400
+    assert fr == {"web": 0.2, "code": 1.0, "chat": 0.25}
+    with pytest.raises(ValueError):
+        sampling.mixture_fractions({"a": 10}, {"a": 1.0, "b": 1.0})
+    with pytest.raises(ValueError):
+        sampling.mixture_fractions({"a": 10}, {"a": 0.0})
+
+
+def test_mixture_sample_realizes_target_proportions(docs):
+    # docs has 400 rows per lang; target 2:1:1 over en/de/fr
+    out = sampling.mixture_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.25}, "lang"
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # T = min(400/.5, 400/.25) = 800 -> en keeps all 400 (binding),
+    # de/fr keep ~200 each (bucket granularity ~ +/- O(sqrt(n)))
+    assert got["en"] == 400
+    for lang in ("de", "fr"):
+        assert abs(got[lang] - 200) < 40, got
+    # deterministic: same call, same membership
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(
+            docs, "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.25}, "lang"
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_mixture_sample_subset_of_corpus_and_drops_unweighted(docs):
+    out = sampling.mixture_sample(
+        docs, "doc_id", {"en": 0.9, "de": 0.1}, "lang"
+    ).collect()
+    assert all(r["lang"] != "fr" for r in out)  # unweighted stratum dropped
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert {r["doc_id"] for r in out} <= all_ids
