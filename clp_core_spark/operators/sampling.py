@@ -185,23 +185,38 @@ def mixture_sample(
     weights: Mapping[str, float],
     strata_col: str,
     salt: str = "mix",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Down-sample to a target domain mixture (the training-set
     source-reweighting step, à la the mixture tables in Gopher/LLaMA
     data recipes): ``weights`` are target PROPORTIONS over
     ``strata_col`` values; the result approximates them at the largest
     size reachable without upsampling (the scarcest-relative-to-target
-    stratum keeps all its rows). One distributed groupBy-count fixes
+    stratum keeps all its rows). With ``weight_col`` the targets are
+    proportions of total weight per stratum (tokens, the data-recipe
+    unit) instead of row counts. One distributed groupBy-agg fixes
     the per-stratum fractions driver-side, then the deterministic
     md5-bucket filter of stratified_sample applies them — membership is
     stable across cluster sizes, monotone under weight increases for a
     fixed binding stratum, and recomputable in any SQL engine. Exact
     proportions hold in expectation; per-stratum realization error is
     the usual O(1/sqrt(n_s)) bucket granularity."""
-    counts = {
-        r[strata_col]: r["count"]
-        for r in df.groupBy(strata_col).count().collect()
-    }
+    if weight_col is None:
+        counts = {
+            r[strata_col]: r["count"]
+            for r in df.groupBy(strata_col).count().collect()
+        }
+    else:
+        # token-weighted mixture: targets are proportions of total
+        # WEIGHT (e.g. n_tokens) per stratum, the recipes' usual unit;
+        # keeping a hash-uniform row subset realizes the same share of
+        # a stratum's weight as of its rows in expectation
+        counts = {
+            r[strata_col]: r["w"]
+            for r in df.groupBy(strata_col)
+            .agg(F.sum(weight_col).alias("w"))
+            .collect()
+        }
     fracs = mixture_fractions(counts, weights)
     return stratified_sample(
         df, key_col, fracs, strata_col=strata_col, salt=salt

@@ -200,3 +200,19 @@ def test_mixture_sample_subset_of_corpus_and_drops_unweighted(docs):
     assert all(r["lang"] != "fr" for r in out)  # unweighted stratum dropped
     all_ids = {r["doc_id"] for r in docs.collect()}
     assert {r["doc_id"] for r in out} <= all_ids
+
+
+def test_mixture_sample_token_weighted(docs):
+    """weight_col switches the mixture unit to token mass: strata with
+    heavier docs need fewer rows to reach the same target share."""
+    out = sampling.mixture_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.5}, "lang", weight_col="n_chars"
+    )
+    got = {
+        r["lang"]: r["w"]
+        for r in out.groupBy("lang").agg(F.sum("n_chars").alias("w")).collect()
+    }
+    assert set(got) == {"en", "de"}
+    # realized WEIGHT shares near 50/50 (bucket granularity tolerance)
+    total = sum(got.values())
+    assert abs(got["en"] / total - 0.5) < 0.1, got
