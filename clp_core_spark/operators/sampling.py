@@ -212,7 +212,9 @@ def mixture_sample(
         # keeping a hash-uniform row subset realizes the same share of
         # a stratum's weight as of its rows in expectation
         counts = {
-            r[strata_col]: r["w"]
+            # an all-null weight stratum sums to NULL -> 0, so the
+            # solver's no-rows check rejects it instead of dividing None
+            r[strata_col]: r["w"] or 0
             for r in df.groupBy(strata_col)
             .agg(F.sum(weight_col).alias("w"))
             .collect()

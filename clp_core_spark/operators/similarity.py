@@ -346,14 +346,17 @@ def pq_train(
     iters: int = 10,
 ) -> list[list[list[float]]]:
     """Data-trained PQ codebooks: k-means (Lloyd) per subspace over a
-    bounded sample. The sample is the ONLY driver-side collect —
-    ``limit(sample)`` bounds it regardless of corpus size (at 100 TB,
-    100k × dim float64 ≈ 50 MB for dim=64) — and training is m
-    independent tiny k-means runs in numpy (seconds). The trained books
-    drop into pq_encode/pq_topk unchanged; seeding is deterministic
-    (centroids initialize from the deterministic pq_codebooks), so two
-    runs over the same sample produce identical books. Empty clusters
-    keep their previous centroid (the standard Lloyd fallback)."""
+    bounded DETERMINISTIC sample — the ``sample`` vectors with the
+    smallest content hash (TakeOrderedAndProject: per-partition heap +
+    merge, no global sort), so the trained books are identical across
+    runs, partitionings, and cluster sizes, where a bare ``limit()``
+    would return whatever partitions answered first. The collect is
+    bounded regardless of corpus size (100k × dim float64 ≈ 50 MB for
+    dim=64) and training is m independent tiny k-means runs in numpy
+    (seconds). The trained books drop into pq_encode/pq_topk unchanged;
+    centroids initialize from the deterministic pq_codebooks. Empty
+    clusters keep their previous centroid (the standard Lloyd
+    fallback)."""
     import numpy as np
 
     if dim % m:
@@ -362,6 +365,7 @@ def pq_train(
     rows = (
         df.select(vec_col)
         .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col).cast("string"))
         .limit(sample)
         .collect()
     )
@@ -502,7 +506,12 @@ def pq_topk_coded(
 
     score = None
     for j in range(m):
-        term = F.element_at(
+        # try_element_at: a code outside [0, ksub) (e.g. a table written
+        # with a larger ksub) yields NULL instead of ANSI
+        # ArrayIndexOutOfBounds, and the null-dist filter below drops the
+        # row — an incompatible table returns no rows rather than failing
+        # the whole scan (or, worse, topping the asc ranking with nulls)
+        term = F.try_element_at(
             F.array(*[F.lit(v) for v in lut[j]]),
             F.col(code_col)[j] + F.lit(1),
         )
@@ -510,4 +519,5 @@ def pq_topk_coded(
     out = coded.filter(F.col(code_col).isNotNull()).select(
         F.col(id_col), F.round(score, 6).alias("adc_dist")
     )
+    out = out.filter(F.col("adc_dist").isNotNull())
     return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

@@ -290,3 +290,28 @@ def test_pq_topk_coded_matches_inline_and_prunes_scan(spark, tmp_path):
     import re
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     assert schemas and all("embedding" not in s for s in schemas), schemas
+
+
+def test_pq_topk_coded_drops_incompatible_codes(spark):
+    """Codes outside [0, ksub) — a table written with a larger ksub —
+    must be dropped (try_element_at -> NULL dist -> filtered), not raise
+    ANSI ArrayIndexOutOfBounds and not top the asc ranking as nulls."""
+    m, ksub = 4, 8
+    rows = [(i, _vec(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = df.select(
+        "vec_id",
+        similarity.pq_encode(F.col("embedding"), DIM, m, ksub).alias("pq_code"),
+    )
+    # half the table carries out-of-range codes
+    poisoned = coded.withColumn(
+        "pq_code",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            F.expr("transform(pq_code, x -> x + 100)"),
+        ).otherwise(F.col("pq_code")),
+    )
+    got = similarity.pq_topk_coded(poisoned, _vec(1), k=20, m=m, ksub=ksub).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids and all(i % 2 == 1 for i in ids), ids
+    assert all(r["adc_dist"] is not None for r in got)
