@@ -45,6 +45,17 @@ always executes eagerly; with ``count_stages=False`` its un-persisted
 input plan is recomputed per iteration input — audited mode persists
 it, which is one more reason the default is True.
 
+**Resumability** (``checkpoint_root=``): the expensive stages' DECISION
+tables — span table, exact/near-dup keep-sets, contaminated ids,
+mixture keep-set, pack routing — are slim id-keyed relations (~1% of
+corpus bytes at 10^12 rows), so those are what checkpoint: decision
+parquet first, completion-ledger row second (plans/pipeline.py's commit
+order — a crash between the two leaves an unledgered write the re-run
+overwrites). Cheap stages (gate/redact/split/shuffle: pure Column
+projections) recompute for free; the composed corpus stays a lazy plan
+over the input, never materialized per stage. A params fingerprint in
+every ledger row refuses resuming under changed stage parameters.
+
 Reference analog: none — clp is a log store; this plan is the
 training-data surface the graft adds ON TOP of the CLP operators
 (brief: curation operators are first-class alongside SURVEY §2).
@@ -52,12 +63,15 @@ training-data surface the graft adds ON TOP of the CLP operators
 
 from __future__ import annotations
 
+import hashlib
+import json
 import time
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.errors import AnalysisException
 
 from clp_core_spark.functions import textstats
 from clp_core_spark.operators import dedup, packing, sampling
@@ -69,6 +83,8 @@ class CurationResult:
 
     df: DataFrame
     stages: list[dict] = field(default_factory=list)
+    #: decision tables loaded from ``checkpoint_root`` instead of rebuilt
+    resumed: list[str] = field(default_factory=list)
 
     def ledger(self) -> DataFrame:
         """The stage ledger as a DataFrame (mirrors pipeline.ledger())."""
@@ -85,6 +101,23 @@ class CurationResult:
             ],
             "stage string, rows_in long, rows_out long, wall_sec double",
         )
+
+
+_CKPT_LEDGER_SCHEMA = "stage string, rows long, wall_sec double, params_fp string"
+
+
+def _params_fingerprint(params: Mapping[str, object]) -> str:
+    """Stable fingerprint of every parameter that changes a stage
+    DECISION (not the df itself — re-pointing a checkpoint root at a
+    different corpus is the caller's contract to keep, exactly as with
+    pipeline.py's work_root)."""
+    blob = json.dumps(
+        {k: (sorted(v.items()) if isinstance(v, Mapping) else v)
+         for k, v in sorted(params.items())},
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
 
 
 def curate(
@@ -109,6 +142,7 @@ def curate(
     shuffle: bool = False,
     salt: str = "curate",
     count_stages: bool = True,
+    checkpoint_root: str | None = None,
 ) -> CurationResult:
     """Run the curation pipeline over ``df`` (any table with a unique
     ``id_col`` and a ``text_col``). Stages toggle independently; the
@@ -128,6 +162,81 @@ def curate(
         raise ValueError("mixture weights require domain_col")
     if splits is None:
         splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+    # -- checkpointing: decisions, not data --------------------------------
+    # At 10^12 rows, materializing the corpus after every stage costs ~10
+    # corpus writes; the stage DECISIONS (keep-sets, span tables, pack
+    # routing) are slim id-keyed relations, ~1% of the corpus bytes, and
+    # every cheap stage (gate/redact/split/shuffle: pure Column
+    # projections, no shuffle) recomputes for free. So resumability
+    # checkpoints only the expensive shuffle/iterative stages' decision
+    # tables; the composed corpus stays a lazy plan over the input. The
+    # commit protocol mirrors plans/pipeline.py: decision parquet first,
+    # completion-ledger row second — a crash between the two leaves an
+    # unledgered write that the re-run simply overwrites. A params
+    # fingerprint in every ledger row refuses resuming under changed
+    # stage parameters (stale decisions are a silent-corruption bug, not
+    # a recoverable state).
+    resumed: list[str] = []
+    ckpt_done: dict[str, bool] = {}
+    params_fp: str | None = None
+    ledger_path = f"{checkpoint_root}/ledger" if checkpoint_root else None
+    if checkpoint_root is not None:
+        spark = df.sparkSession
+        params_fp = _params_fingerprint(
+            {
+                "quality_gate": quality_gate,
+                "redact": redact,
+                "excise_spans": excise_spans,
+                "span_k": span_k,
+                "exact": exact,
+                "near_dup": near_dup,
+                "minhash_threshold": minhash_threshold,
+                "shingle_n": shingle_n,
+                "has_benchmark": benchmark is not None,
+                "decontaminate_n": decontaminate_n,
+                "mixture": mixture,
+                "domain_col": domain_col,
+                "mixture_weight_col": mixture_weight_col,
+                "splits": splits,
+                "seq_len": seq_len,
+                "salt": salt,
+                "id_col": id_col,
+                "text_col": text_col,
+            }
+        )
+        try:
+            for r in spark.read.parquet(ledger_path).collect():
+                if r["params_fp"] != params_fp:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_root} was written under"
+                        " different curation parameters (fingerprint"
+                        f" {r['params_fp']} != {params_fp}); resuming would"
+                        " apply stale decisions — use a fresh root"
+                    )
+                ckpt_done[r["stage"]] = True
+        except AnalysisException:
+            pass  # no ledger yet — fresh root
+
+    def _decision(name: str, build: Callable[[], DataFrame]) -> DataFrame:
+        """Build (or load) one stage's slim decision table."""
+        if checkpoint_root is None:
+            return build()
+        spark = df.sparkSession
+        path = f"{checkpoint_root}/decisions/{name}"
+        if ckpt_done.get(name):
+            resumed.append(name)
+            return spark.read.parquet(path)
+        t0 = time.monotonic()
+        out = build()
+        out.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)  # downstream reads the committed file
+        spark.createDataFrame(
+            [(name, out.count(), round(time.monotonic() - t0, 3), params_fp)],
+            _CKPT_LEDGER_SCHEMA,
+        ).write.mode("append").parquet(ledger_path)
+        ckpt_done[name] = True
+        return out
 
     stages: list[dict] = []
     cur = df
@@ -167,7 +276,13 @@ def curate(
             cur.withColumn(text_col, textstats.redact_pii(F.col(text_col))),
         )
     if excise_spans:
-        spans = dedup.duplicate_spans(cur, text_col=text_col, id_col=id_col, k=span_k)
+        src = cur
+        spans = _decision(
+            "spans",
+            lambda: dedup.duplicate_spans(
+                src, text_col=text_col, id_col=id_col, k=span_k
+            ),
+        )
         rewritten = dedup.remove_duplicate_spans(
             cur, spans, text_col=text_col, id_col=id_col, out_col="_text_deduped"
         )
@@ -178,45 +293,61 @@ def curate(
             ),
         )
     if exact:
-        keep = dedup.exact_dedup(cur, text_col=text_col, id_col=id_col).select(id_col)
-        _stage("exact_dedup", cur.join(keep, id_col, "left_semi"))
-    if near_dup:
-        pairs = dedup.minhash_lsh_pairs(
-            cur,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_n=shingle_n,
-            threshold=minhash_threshold,
-        )
-        clusters = dedup.near_dup_clusters(cur, pairs, id_col=id_col)
-        canon = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
-        _stage("near_dup", cur.join(canon, id_col, "left_semi"))
-    if benchmark is not None:
-        flagged = dedup.decontaminate(
-            cur,
-            benchmark,
-            text_col=text_col,
-            id_col=id_col,
-            n=decontaminate_n,
-        )
-        _stage(
-            "decontaminate",
-            flagged.filter(~F.col("contaminated")).drop(
-                "contaminated", "n_contaminated_ngrams"
+        src = cur
+        keep = _decision(
+            "exact_keep",
+            lambda: dedup.exact_dedup(src, text_col=text_col, id_col=id_col).select(
+                id_col
             ),
         )
+        _stage("exact_dedup", cur.join(keep, id_col, "left_semi"))
+    if near_dup:
+        src = cur
+
+        def _near_dup_keep(src: DataFrame = src) -> DataFrame:
+            pairs = dedup.minhash_lsh_pairs(
+                src,
+                id_col=id_col,
+                text_col=text_col,
+                shingle_n=shingle_n,
+                threshold=minhash_threshold,
+            )
+            clusters = dedup.near_dup_clusters(src, pairs, id_col=id_col)
+            return clusters.filter(F.col(id_col) == F.col("canonical_id")).select(
+                id_col
+            )
+
+        canon = _decision("near_dup_keep", _near_dup_keep)
+        _stage("near_dup", cur.join(canon, id_col, "left_semi"))
+    if benchmark is not None:
+        src = cur
+        bad = _decision(
+            "contaminated_ids",
+            lambda: dedup.decontaminate(
+                src,
+                benchmark,
+                text_col=text_col,
+                id_col=id_col,
+                n=decontaminate_n,
+            )
+            .filter(F.col("contaminated"))
+            .select(id_col),
+        )
+        _stage("decontaminate", cur.join(bad, id_col, "left_anti"))
     if mixture is not None:
-        _stage(
-            "mixture",
-            sampling.mixture_sample(
-                cur,
+        src = cur
+        keep_mix = _decision(
+            "mixture_keep",
+            lambda: sampling.mixture_sample(
+                src,
                 id_col,
                 mixture,
                 strata_col=domain_col,
                 salt=f"{salt}-mix",
                 weight_col=mixture_weight_col,
-            ),
+            ).select(id_col),
         )
+        _stage("mixture", cur.join(keep_mix, id_col, "left_semi"))
     _stage(
         "split",
         sampling.split_assign(cur, id_col, weights=splits, salt=f"{salt}-split"),
@@ -226,28 +357,29 @@ def curate(
         # are independent, and no sequence may mix splits); the packed
         # routing table is slim (id, n_tokens, pack_group, seq_id,
         # overlong) so the per-split union + join-back moves no text
-        with_tokens = cur.withColumn(
-            "_n_tokens", textstats.token_count_ws(F.col(text_col))
-        )
-        packed_parts = [
-            packing.pack_sequences(
-                with_tokens.filter(F.col("split") == F.lit(name)),
-                id_col,
-                "_n_tokens",
-                seq_len,
-                salt=f"{salt}-pack-{name}",
-            ).withColumn("split", F.lit(name))
-            for name in splits
-        ]
-        packed = packed_parts[0]
-        for p in packed_parts[1:]:
-            packed = packed.unionByName(p)
-        routed = cur.join(
-            packed.select(id_col, "pack_group", "seq_id", "overlong"),
-            id_col,
-            "left",
-        )
-        _stage("pack", routed)
+        src = cur
+
+        def _pack_routing(src: DataFrame = src) -> DataFrame:
+            with_tokens = src.withColumn(
+                "_n_tokens", textstats.token_count_ws(F.col(text_col))
+            )
+            packed_parts = [
+                packing.pack_sequences(
+                    with_tokens.filter(F.col("split") == F.lit(name)),
+                    id_col,
+                    "_n_tokens",
+                    seq_len,
+                    salt=f"{salt}-pack-{name}",
+                )
+                for name in splits
+            ]
+            packed = packed_parts[0]
+            for p in packed_parts[1:]:
+                packed = packed.unionByName(p)
+            return packed.select(id_col, "pack_group", "seq_id", "overlong")
+
+        routing = _decision("pack_routing", _pack_routing)
+        _stage("pack", cur.join(routing, id_col, "left"))
     if shuffle:
         _stage(
             "shuffle",
@@ -259,4 +391,4 @@ def curate(
         # long-lived session must not accumulate corpus-sized caches
         # (same contract as clps_search's owned_persists)
         prev_cached.unpersist()
-    return CurationResult(df=cur, stages=stages)
+    return CurationResult(df=cur, stages=stages, resumed=resumed)

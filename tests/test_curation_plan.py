@@ -222,3 +222,97 @@ def test_mixture_stage(spark):
     # downsamples toward 100 (md5-bucket granularity at n=300)
     assert by_lang["de"] == 100
     assert abs(by_lang["en"] - 100) <= 25
+
+
+def test_checkpoint_resume(spark, corpus, bench_df, tmp_path):
+    """Decisions-only checkpointing: a rerun loads every expensive
+    stage's decision table instead of rebuilding, produces the
+    identical corpus, and the stored decision — not a recompute — is
+    what drives the output (proven by doctoring the keep-set).
+    Changed parameters refuse to resume."""
+    root = str(tmp_path / "ckpt")
+    kw = dict(
+        benchmark=bench_df,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        seq_len=128,
+        checkpoint_root=root,
+    )
+    r1 = curation.curate(corpus, **kw)
+    assert r1.resumed == []  # fresh root: everything built
+    ids1 = sorted(r[0] for r in r1.df.select("doc_id").collect())
+
+    r2 = curation.curate(corpus, **kw)
+    assert sorted(r2.resumed) == [
+        "contaminated_ids", "exact_keep", "near_dup_keep", "pack_routing",
+    ]
+    assert sorted(r[0] for r in r2.df.select("doc_id").collect()) == ids1
+    # ledger on disk: one committed row per decision, fingerprints equal
+    led = spark.read.parquet(f"{root}/ledger").collect()
+    assert sorted(led_r["stage"] for led_r in led) == [
+        "contaminated_ids", "exact_keep", "near_dup_keep", "pack_routing",
+    ]
+    assert len({led_r["params_fp"] for led_r in led}) == 1
+
+    # the checkpoint is authoritative: doctor exact_keep (drop doc 0)
+    # and the rerun must obey the stored decision, not recompute it
+    keep = spark.read.parquet(f"{root}/decisions/exact_keep")
+    doctored = keep.filter(F.col("doc_id") != 0)
+    doctored.write.mode("overwrite").parquet(f"{root}/decisions/exact_keep_tmp")
+    spark.read.parquet(f"{root}/decisions/exact_keep_tmp").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/decisions/exact_keep")
+    r3 = curation.curate(corpus, **kw)
+    ids3 = {r[0] for r in r3.df.select("doc_id").collect()}
+    assert 0 not in ids3 and 1 in ids3
+
+    # changed stage parameters -> stale decisions refused
+    with pytest.raises(ValueError, match="different curation parameters"):
+        curation.curate(corpus, **{**kw, "seq_len": 256})
+
+
+def test_curate_cli_end_to_end_and_resume(spark, tmp_path):
+    """The spark-submit surface (clp_core_spark.curate_job): reads a
+    parquet documents table, writes the curated corpus partitioned by
+    split, emits the stage ledger JSON; a second run against the same
+    checkpoint root resumes every expensive decision."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = str(tmp_path / "docs")
+    rows = [(i, _doc(i), ["web", "code"][i % 2]) for i in range(60)]
+    rows.append((500, _doc(0), "web"))  # exact duplicate
+    spark.createDataFrame(rows, ["doc_id", "text", "domain"]).write.parquet(docs)
+
+    def run(out_name):
+        metrics = str(tmp_path / f"{out_name}.json")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "clp_core_spark.curate_job",
+                "--input", docs,
+                "--output", str(tmp_path / out_name),
+                "--checkpoint-root", str(tmp_path / "ckpt"),
+                "--seq-len", "128",
+                "--master", "local[4]",
+                "--shuffle-partitions", "8",
+                "--metrics-out", metrics,
+            ],
+            capture_output=True, text=True,
+            env=dict(os.environ, PYTHONPATH=repo), timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(open(metrics).read())
+
+    m1 = run("out1")
+    assert m1["resumed"] == []
+    by_stage = {s["stage"]: s for s in m1["stages"]}
+    assert by_stage["exact_dedup"]["rows_out"] == by_stage["exact_dedup"]["rows_in"] - 1
+    assert os.path.isdir(str(tmp_path / "out1" / "split=train"))
+
+    m2 = run("out2")
+    assert sorted(m2["resumed"]) == ["exact_keep", "near_dup_keep", "pack_routing"]
+    assert [s["rows_out"] for s in m2["stages"]] == [
+        s["rows_out"] for s in m1["stages"]
+    ]
