@@ -99,6 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.mixture is not None and args.domain_col is None:
         build_arg_parser().error("--mixture requires --domain-col")
 
+    import pyspark.sql.functions as F
+
     from clp_core_spark.plans import curation
     from clp_core_spark.session import get_spark
 
@@ -109,9 +111,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     try:
         df = spark.read.parquet(args.input)
+        # select-alias, not rename: collision-free if the table already
+        # has a 'text' column, and prunes every other column at the scan
         benchmark = (
-            spark.read.parquet(args.benchmark)
-            .withColumnRenamed(args.benchmark_text_col, "text")
+            spark.read.parquet(args.benchmark).select(
+                F.col(args.benchmark_text_col).alias("text")
+            )
             if args.benchmark is not None
             else None
         )
