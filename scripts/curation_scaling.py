@@ -40,7 +40,7 @@ BOILER = " ".join(f"b{i}" for i in range(12))
 
 def synth_documents(spark, n_docs: int, vocab: int = 5000, min_len: int = 60,
                     max_len: int = 180, clone_every: int = 50,
-                    boiler_every: int = 97):
+                    boiler_every: int = 97, alphabetic: bool = False):
     import pyspark.sql.functions as F
 
     df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
@@ -50,10 +50,17 @@ def synth_documents(spark, n_docs: int, vocab: int = 5000, min_len: int = 60,
     ).otherwise(F.col("doc_id"))
     df = df.withColumn("_cid", cid)
     ln = F.pmod(F.xxhash64(F.col("_cid"), F.lit(7)), F.lit(max_len - min_len)) + min_len
-    toks = F.transform(
-        F.sequence(F.lit(1), ln),
-        lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("_cid"), j), F.lit(vocab))),
-    )
+
+    def _tok(j):
+        t = F.pmod(F.xxhash64(F.col("_cid"), j), F.lit(vocab)).cast("string")
+        if alphabetic:
+            # digits -> letters: tokens like 'wbcde' pass alpha-ratio
+            # quality gates (plain 'w4231' is 20% alphabetic and fails
+            # the Gopher >=40% rule), still deterministic and JVM-side
+            t = F.translate(t, "0123456789", "abcdefghij")
+        return F.concat(F.lit("w"), t)
+
+    toks = F.transform(F.sequence(F.lit(1), ln), _tok)
     text = F.concat_ws(" ", toks)
     text = F.when(
         F.col("_cid") % boiler_every == 0, F.concat(text, F.lit(" " + BOILER))
