@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 
 def _parse_weights(spec: str, flag: str) -> dict[str, float]:
@@ -110,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     try:
+        t_run = time.monotonic()
         df = spark.read.parquet(args.input)
         # select-alias, not rename: collision-free if the table already
         # has a 'text' column, and prunes every other column at the scan
@@ -146,12 +148,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         # the shuffle stage's global sort IS the training order — a
         # partitionBy(split) write keeps per-split files in that order
+        t_write = time.monotonic()
         result.df.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        write_wall = time.monotonic() - t_write
         blob = json.dumps(
             {
                 "stages": result.stages,
                 "resumed": result.resumed,
                 "output": args.output,
+                "write_wall_sec": round(write_wall, 3),
+                # curate() + output write, excluding session startup —
+                # the number scaling harnesses should use
+                "total_wall_sec": round(time.monotonic() - t_run, 3),
             }
         )
         if args.metrics_out:

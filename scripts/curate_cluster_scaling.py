@@ -95,7 +95,11 @@ def run_leg(n_exec: int, cores: int, mem_mb: int, input_path: str,
         sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-5000:])
         raise RuntimeError(f"leg {n_exec}x{cores} failed")
     m = json.loads(open(metrics_out).read())
-    pipeline_wall = sum(s["wall_sec"] for s in m["stages"])
+    # total_wall_sec = curate() + output write inside the job (startup
+    # excluded); the stage-ledger sum alone misses the output write
+    pipeline_wall = m.get("total_wall_sec") or sum(
+        s["wall_sec"] for s in m["stages"]
+    )
     n_docs = m["stages"][0]["rows_in"]
     return {
         "executors": n_exec,
