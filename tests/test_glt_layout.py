@@ -3,8 +3,27 @@
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from clp_core_spark.operators import encode_pipeline, route
+
+
+@pytest.fixture(autouse=True)
+def _exact_range_boundaries(spark):
+    """repartitionByRange picks boundaries from a 100-point-per-partition
+    SAMPLE; on this small corpus the jitter occasionally splits a
+    cluster across one extra file, flaking the <=N file-count
+    assertions (observed once in a loaded full-suite run). A large
+    sample makes boundaries effectively exact — the assertions then
+    test the LAYOUT logic, not the sampler's variance."""
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "10000")
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
 
 
 def test_glt_roundtrip_and_pruning(spark, transcripts, tmp_path):
