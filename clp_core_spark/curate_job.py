@@ -96,9 +96,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
     if args.mixture is not None and args.domain_col is None:
-        build_arg_parser().error("--mixture requires --domain-col")
+        parser.error("--mixture requires --domain-col")
 
     import pyspark.sql.functions as F
 
@@ -145,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.salt,
             count_stages=not args.no_stage_counts,
             checkpoint_root=args.checkpoint_root,
+            # the path names WHICH benchmark the stored contamination
+            # decision is valid against (curation.py refuses a resume
+            # under a different one)
+            benchmark_fingerprint=args.benchmark,
         )
         # the shuffle stage's global sort IS the training order — a
         # partitionBy(split) write keeps per-split files in that order

@@ -143,6 +143,7 @@ def curate(
     salt: str = "curate",
     count_stages: bool = True,
     checkpoint_root: str | None = None,
+    benchmark_fingerprint: str | None = None,
 ) -> CurationResult:
     """Run the curation pipeline over ``df`` (any table with a unique
     ``id_col`` and a ``text_col``). Stages toggle independently; the
@@ -160,6 +161,17 @@ def curate(
     """
     if mixture is not None and domain_col is None:
         raise ValueError("mixture weights require domain_col")
+    if (
+        checkpoint_root is not None
+        and benchmark is not None
+        and benchmark_fingerprint is None
+    ):
+        raise ValueError(
+            "checkpointing with a benchmark requires benchmark_fingerprint"
+            " (e.g. the benchmark table's path) — the stored"
+            " contaminated_ids decision is only valid against the SAME"
+            " benchmark, and the fingerprint is how a resume proves it"
+        )
     if splits is None:
         splits = {"train": 0.98, "val": 0.01, "test": 0.01}
 
@@ -193,7 +205,13 @@ def curate(
                 "near_dup": near_dup,
                 "minhash_threshold": minhash_threshold,
                 "shingle_n": shingle_n,
+                # the benchmark TABLE's identity matters for the stored
+                # contaminated_ids decision — a bare has-it boolean would
+                # let a resume under a different benchmark silently reuse
+                # suite-A contamination flags against suite B. Callers
+                # with a benchmark + checkpoint must say which one.
                 "has_benchmark": benchmark is not None,
+                "benchmark_fingerprint": benchmark_fingerprint,
                 "decontaminate_n": decontaminate_n,
                 "mixture": mixture,
                 "domain_col": domain_col,

@@ -3,9 +3,11 @@
 ``local-cluster[N,C,mem]`` at N and 4N real executor JVMs — the
 curation-family counterpart of scripts/cluster_scaling.py (which covers
 the ingest pipeline). Same method: identical deterministic input staged
-once, throughput from the job's own stage ledger (wall sum across
-stages, executor startup excluded), loadavg recorded per leg so the
-JSON carries its own contention evidence.
+once, throughput from the job's own total_wall_sec (curate() + the
+curated-corpus write, executor startup excluded — note this INCLUDES
+the output write, unlike cluster_scaling.py's ingest ledger walls),
+loadavg recorded per leg so the JSON carries its own contention
+evidence.
 
 The corpus is scripts/curation_scaling.py's deterministic JVM-side
 synthesis (hash-derived tokens; planted exact clones every
@@ -78,12 +80,14 @@ def run_leg(n_exec: int, cores: int, mem_mb: int, input_path: str,
         "--master", f"local-cluster[{n_exec},{cores},{mem_mb}]",
         "--py-files", zip_path,
         "--conf", "spark.driver.memory=8g",
-        "--conf", f"spark.executor.memory={mem_mb // 1024}g",
-        "--conf", "spark.sql.shuffle.partitions=32",
+        "--conf", f"spark.executor.memory={mem_mb}m",
         job_py,
         "--input", input_path,
         "--output", f"{out_root}/curated",
         "--seq-len", "2048",
+        # the job's own flag, not --conf: get_spark() sets the session
+        # default for this key, which would override a submit-time conf
+        "--shuffle-partitions", "32",
         "--metrics-out", metrics_out,
     ]
     load0 = _load()
@@ -97,9 +101,10 @@ def run_leg(n_exec: int, cores: int, mem_mb: int, input_path: str,
     m = json.loads(open(metrics_out).read())
     # total_wall_sec = curate() + output write inside the job (startup
     # excluded); the stage-ledger sum alone misses the output write
-    pipeline_wall = m.get("total_wall_sec") or sum(
-        s["wall_sec"] for s in m["stages"]
-    )
+    if "total_wall_sec" in m:
+        pipeline_wall = m["total_wall_sec"]
+    else:  # pre-total_wall_sec metrics format
+        pipeline_wall = sum(s["wall_sec"] for s in m["stages"])
     n_docs = m["stages"][0]["rows_in"]
     return {
         "executors": n_exec,

@@ -233,10 +233,16 @@ def test_checkpoint_resume(spark, corpus, bench_df, tmp_path):
     root = str(tmp_path / "ckpt")
     kw = dict(
         benchmark=bench_df,
+        benchmark_fingerprint="bench-fixture-v1",
         splits={"train": 0.8, "val": 0.1, "test": 0.1},
         seq_len=128,
         checkpoint_root=root,
     )
+    # a benchmark + checkpoint WITHOUT naming the benchmark is refused
+    with pytest.raises(ValueError, match="benchmark_fingerprint"):
+        curation.curate(
+            corpus, benchmark=bench_df, checkpoint_root=root
+        )
     r1 = curation.curate(corpus, **kw)
     assert r1.resumed == []  # fresh root: everything built
     ids1 = sorted(r[0] for r in r1.df.select("doc_id").collect())
