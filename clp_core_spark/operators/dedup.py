@@ -187,11 +187,54 @@ def _make_minhash_udf(num_hashes: int):
     return _minhash_udf
 
 
+def _batch_window_hashes(
+    texts, k: int, split_ws: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch rolling window hashes: ONE pd.util.hash_array call
+    over every token of every doc (the per-doc call carried ~120µs of
+    fixed overhead — it dominated the kernel at bench scale, 0.84s ->
+    ~0.1s per 5k docs), then ONE k-step polynomial pass over the flat
+    hash array; per-doc window slices are selected by offset (windows
+    never cross doc boundaries because each doc's slice stops k-1 short
+    of its end). Element-wise hashing is position-independent, so the
+    values are bit-identical to the per-doc form. Returns
+    (flat uint64 window hashes laid out doc-major, window counts per
+    doc; count 0 for docs shorter than k tokens)."""
+    n = len(texts)
+    toks: list = []
+    lens = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        tk = (t.split() if split_ws else t.split(" ")) if t is not None else []
+        toks.append(tk)
+        lens[i] = len(tk)
+    total = int(lens.sum())
+    wins = np.maximum(lens - k + 1, 0)
+    if total < k:
+        return np.zeros(0, dtype=np.uint64), wins
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tk in toks:
+        m = len(tk)
+        flat[pos:pos + m] = tk
+        pos += m
+    th = pd.util.hash_array(flat)
+    nw = total - k + 1
+    acc = np.zeros(nw, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _WINHASH_PRIME + th[j:j + nw]
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    valid = np.zeros(nw, dtype=bool)
+    for i in range(n):
+        if wins[i]:
+            valid[offs[i]:offs[i] + wins[i]] = True
+    return acc[valid], wins
+
+
 def _make_text_minhash_udf(num_hashes: int, shingle_n: int):
-    """Fused text -> MinHash signature in ONE Arrow pass: tokenize,
-    per-token hash, rolling-polynomial shingle hashes (the
-    _window_hash_udf kernel inlined), np.unique per doc, then the K
-    universal-hash permutations over the flattened batch with
+    """Fused text -> MinHash signature in ONE Arrow pass: batch-wide
+    tokenize + window hash (_batch_window_hashes), np.unique per doc,
+    then the K universal-hash permutations over the flattened batch with
     np.minimum.reduceat. Chaining the shingle kernel UDF into the
     signature UDF instead costs a full JVM->Arrow->JVM round trip of
     the per-doc hash arrays between two Python runner pipes (~0.5 GB
@@ -203,18 +246,14 @@ def _make_text_minhash_udf(num_hashes: int, shingle_n: int):
     def _text_minhash_udf(texts: pd.Series) -> pd.Series:
         n = len(texts)
         res: list = [None] * n  # shingle-less docs stay NULL
+        wh, wins = _batch_window_hashes(texts, shingle_n, split_ws=True)
         per_doc: list[np.ndarray] = []
         lens = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            tk = t.split() if t is not None else []
-            m = len(tk) - shingle_n + 1
-            if m < 1:
+        woffs = np.concatenate(([0], np.cumsum(wins)[:-1]))
+        for i in range(n):
+            if not wins[i]:
                 continue
-            th = pd.util.hash_array(np.asarray(tk, dtype=object))
-            acc = np.zeros(m, dtype=np.uint64)
-            for j in range(shingle_n):
-                acc = acc * _WINHASH_PRIME + th[j : j + m]
-            u = np.unique(acc.view(np.int64))
+            u = np.unique(wh[woffs[i]:woffs[i] + wins[i]].view(np.int64))
             per_doc.append(u)
             lens[i] = len(u)
         nz = np.nonzero(lens)[0]
@@ -300,9 +339,25 @@ def minhash_lsh_pairs(
     slim = fan_out(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
-    sig = slim.select(
-        "_id", _TEXT_MINHASH_UDFS[ukey](F.col("_text")).alias("_sig")
-    ).filter(F.col("_sig").isNotNull())
+    # localCheckpoint: the signature relation is consumed by BOTH
+    # self-join sides (and, transitively, by every verify branch). The
+    # round-4/5 design relied on ReuseExchange deduplicating identical
+    # exchange subtrees, but a runtime-plan audit (round 6) showed ZERO
+    # reuse once AQE converts the self-join to broadcast at bench scale:
+    # the final plan held 22 ArrowEvalPython nodes — the fused kernel ran
+    # 22x per query. Materializing the (id, sig) relation once (64
+    # longs/doc) makes the kernel count join-strategy-independent; blocks
+    # are freed by the ContextCleaner when the plan is GC'd. The filter
+    # runs AFTER the checkpoint so the null-signature filter cannot be
+    # pushed below the projection and double-evaluate the UDF (guide
+    # §4.4).
+    sig = (
+        slim.select(
+            "_id", _TEXT_MINHASH_UDFS[ukey](F.col("_text")).alias("_sig")
+        )
+        .localCheckpoint(eager=False)
+        .filter(F.col("_sig").isNotNull())
+    )
 
     # Bucket = multi-arg xxhash64 over the band's signature slots —
     # hashing the longs directly; the previous concat_ws form built
@@ -324,11 +379,6 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bucket"),
     )
-    # Explicit shuffle on the join keys: both self-join sides share ONE
-    # identical exchange subtree, so Spark's ReuseExchange computes the
-    # shingle+signature branch once instead of twice (a broadcast self-join
-    # would re-evaluate it per side).
-    banded = banded.repartition(F.col("_band"), F.col("_bucket"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -341,6 +391,9 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # consumed twice (id-set derivation + final verify join): pin the
+        # deduped pair set instead of re-running the banded self-join
+        .localCheckpoint(eager=False)
     )
     # Verify on candidates only — and run the shingle kernel over
     # candidate DOCS only. Candidates are a vanishing fraction of the
@@ -349,19 +402,16 @@ def minhash_lsh_pairs(
     # used to be the verify stage's whole cost: a second full-corpus
     # Python pass plus a corpus-scale shuffle of ~KB shingle-set rows
     # (measured 200k docs / local[32]: full op 24.8s -> 16.1s warm,
-    # identical output). cand's dropDuplicates exchange is consumed twice
-    # (id-set derivation + final join); ReuseExchange replays those
-    # shuffle files instead of recomputing the banded self-join.
+    # identical output).
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
         .union(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    # The explicit repartition(_id) gives both verify joins the SAME
-    # canonical exchange subtree, so ReuseExchange computes the Arrow
-    # shingle kernel ONCE for verification and the second join replays
-    # the shuffle files — without it each join re-ran the kernel
-    # (a full Python pass per side).
+    # The checkpointed shingle-set relation feeds both verify joins, so
+    # the Arrow shingle kernel runs ONCE for verification regardless of
+    # join strategy (the former repartition-for-ReuseExchange did not
+    # survive AQE's broadcast conversion — see the sig note above).
     keyed = (
         slim.join(cand_ids, "_id", "left_semi")
         .select(
@@ -370,7 +420,7 @@ def minhash_lsh_pairs(
                 F.col("_text")
             ).alias("_sh"),
         )
-        .repartition(F.col("_id"))
+        .localCheckpoint(eager=False)
     )
     sh_a = keyed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = keyed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
@@ -476,6 +526,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document over word n-gram shingles (n=1 for the
     classic token-level variant; n>=2 discriminates much better on
@@ -497,10 +548,18 @@ def simhash(
         ).alias("_shh"),
     )
     # shingle-less docs (fewer than shingle_n tokens) are excluded, the
-    # same contract as the minhash path: there is nothing to compare
-    return feats_df.select(
+    # same contract as the minhash path: there is nothing to compare.
+    # ``checkpoint`` pins the signature relation BEFORE the null filter:
+    # a filter on the UDF output column otherwise pushes below the
+    # projection and evaluates both chained kernels twice (guide §4.4),
+    # and downstream self-joins re-run them per side (see
+    # minhash_lsh_pairs).
+    sigs = feats_df.select(
         F.col(id_col), _simhash_udf(F.col("_shh")).alias("simhash")
-    ).filter(F.col("simhash").isNotNull())
+    )
+    if checkpoint:
+        sigs = sigs.localCheckpoint(eager=False)
+    return sigs.filter(F.col("simhash").isNotNull())
 
 
 def _popcount64(c: Column) -> Column:
@@ -518,7 +577,7 @@ def simhash_near_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
     16-bit chunks (pigeonhole: <= 3 differing bits means >= 1 of 4 chunks
     equal), verified by popcount(xor)."""
-    sh = simhash(df, id_col, text_col, shingle_n)
+    sh = simhash(df, id_col, text_col, shingle_n, checkpoint=True)
     width = _SIMHASH_BITS // chunks
     chunked = sh.select(
         F.col(id_col).alias("_id"),
@@ -534,8 +593,6 @@ def simhash_near_pairs(
             )
         ).alias("_chunk_ix", "_chunk"),
     )
-    # shared exchange for both self-join sides (see minhash_lsh_pairs)
-    chunked = chunked.repartition(F.col("_chunk_ix"), F.col("_chunk"))
     cand = (
         chunked.alias("l")
         .join(
@@ -831,22 +888,14 @@ def _window_hash_udf(k: int, distinct: bool = False, split_ws: bool = False):
         @pandas_udf(ArrayType(LongType()))
         def win_hashes(texts: pd.Series) -> pd.Series:
             empty = np.array([], dtype=np.int64)
+            wh, wins = _batch_window_hashes(texts, k, split_ws=split_ws)
+            woffs = np.concatenate(([0], np.cumsum(wins)[:-1]))
             out = []
-            for t in texts:
-                if t is None:
+            for i in range(len(texts)):
+                if not wins[i]:
                     out.append(empty)
                     continue
-                tk = t.split() if split_ws else t.split(" ")
-                n = len(tk)
-                if n < k:
-                    out.append(empty)
-                    continue
-                th = pd.util.hash_array(np.asarray(tk, dtype=object))
-                m = n - k + 1
-                acc = np.zeros(m, dtype=np.uint64)
-                for j in range(k):
-                    acc = acc * _WINHASH_PRIME + th[j : j + m]
-                iacc = acc.view(np.int64)
+                iacc = wh[woffs[i]:woffs[i] + wins[i]].view(np.int64)
                 out.append(np.unique(iacc) if distinct else iacc)
             return pd.Series(out)
 
