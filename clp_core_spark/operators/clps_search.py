@@ -183,6 +183,34 @@ def decode_clpstring_column(
     return encoded.join(dec, key_cols, "left")
 
 
+def clpstring_hit_keys(
+    encoded: DataFrame,
+    col: str,
+    dicts: dict[str, tuple[DataFrame, DataFrame]],
+    query: str,
+    key_cols: list[str],
+    ignore_case: bool = False,
+    wrap: bool = False,
+) -> DataFrame:
+    """Key rows of ``encoded`` whose ClpString column ``col`` matches the
+    CLP wildcard ``query`` — the dictionary search itself, WITHOUT the
+    join back onto the full table. kql_filter_clps consumes hit-KEY sets
+    (markers / semi-joins), so returning keys directly saves one full
+    corpus scan + semi-join per leaf (the round-6 stage audit counted
+    ~18 serial cached-corpus passes for a two-leaf AND)."""
+    lt, vd = dicts[col]
+    view = encoded.filter(F.col(f"{col}__present")).select(
+        *key_cols,
+        F.col(f"{col}__logtype_id").alias("logtype_id"),
+        F.col(f"{col}__encoded_vars").alias("encoded_vars"),
+        F.col(f"{col}__var_types").alias("var_types"),
+    )
+    hits = search.search_text(
+        view, lt, vd, query, key_cols, ignore_case=ignore_case, wrap=wrap
+    )
+    return hits.select(*key_cols)
+
+
 def search_clpstring_column(
     encoded: DataFrame,
     col: str,
@@ -196,17 +224,11 @@ def search_clpstring_column(
     wildcard ``query`` (full-value match by default, clp_s semantics).
     Runs entirely on the encoded representation; the wildcard-verify
     residue decodes only candidate rows."""
-    lt, vd = dicts[col]
-    view = encoded.filter(F.col(f"{col}__present")).select(
-        *key_cols,
-        F.col(f"{col}__logtype_id").alias("logtype_id"),
-        F.col(f"{col}__encoded_vars").alias("encoded_vars"),
-        F.col(f"{col}__var_types").alias("var_types"),
+    keys = clpstring_hit_keys(
+        encoded, col, dicts, query, key_cols,
+        ignore_case=ignore_case, wrap=wrap,
     )
-    hits = search.search_text(
-        view, lt, vd, query, key_cols, ignore_case=ignore_case, wrap=wrap
-    )
-    return encoded.join(hits.select(*key_cols), key_cols, "leftsemi")
+    return encoded.join(keys, key_cols, "leftsemi")
 
 
 # --- boolean tree -> negation normal form (OrOfAndForm's De Morgan half) -----
@@ -512,9 +534,9 @@ def kql_filter_clps(
         hit = _clp_clause(toks, dicts)
         if hit is not None:
             col, value = hit
-            keys = search_clpstring_column(
+            keys = clpstring_hit_keys(
                 encoded, col, dicts, value, key_cols, ignore_case=ignore_case
-            ).select(*key_cols)
+            )
             plans[text] = ("join", keys, F.col(f"{col}__present"))
             return plans[text]
         vl = _clp_value_list(toks, dicts)
@@ -524,9 +546,9 @@ def kql_filter_clps(
                 plans[text] = ("pred", F.lit(False), None)
                 return plans[text]
             hit_dfs = [
-                search_clpstring_column(
+                clpstring_hit_keys(
                     encoded, col, dicts, v, key_cols, ignore_case=ignore_case
-                ).select(*key_cols)
+                )
                 for v in values
             ]
             keys = hit_dfs[0]
@@ -560,10 +582,10 @@ def kql_filter_clps(
                 )
                 for c in matched_clp:
                     keys = keys.unionByName(
-                        search_clpstring_column(
+                        clpstring_hit_keys(
                             encoded, c, dicts, value, key_cols,
                             ignore_case=ignore_case,
-                        ).select(*key_cols)
+                        )
                     )
                     present = present | F.col(f"{c}__present")
                 plans[text] = ("join", keys.dropDuplicates(key_cols), present)

@@ -670,6 +670,92 @@ def compile_query(
 # --- execution ---------------------------------------------------------------
 
 
+def _lt_rows_cached(logtype_dict: DataFrame):
+    """Driver copy of a (small) logtype dictionary, cached on the
+    DataFrame object — CLP keeps the logtype dictionary in memory for
+    the whole query session (Grep.cpp:477-495). Returns None when the
+    dict exceeds the driver bound."""
+    cached = getattr(logtype_dict, "_clp_lt_rows", None)
+    if cached is not None:
+        return cached if cached is not False else None
+    head = logtype_dict.select("logtype", "logtype_id").limit(
+        DictProbes.LOGTYPE_DRIVER_MAX + 1
+    ).collect()
+    if len(head) > DictProbes.LOGTYPE_DRIVER_MAX:
+        logtype_dict._clp_lt_rows = False
+        return None
+    rows = [(r["logtype"], int(r["logtype_id"])) for r in head]
+    logtype_dict._clp_lt_rows = rows
+    return rows
+
+
+# JVM template-decode bound: above this many templates the CASE chain
+# stops paying for itself (codegen size); fall back to the Python kernel.
+_JVM_DECODE_MAX_LOGTYPES = 64
+
+
+def _decode_for_verify(
+    df: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    key_cols: list[str],
+    var_dict_count: int | None,
+    slim_to_needed: bool = False,
+) -> DataFrame:
+    """Attach ``decoded_text`` for the wildcard-verify stage. When every
+    logtype's placeholders are INTEGER variables (no dictionary/float
+    slots) and the logtype dict is driver-resident, the reconstruction
+    is a pure-JVM CASE over per-template concat chains —
+    ``Long.toString`` equals Python ``str(int)``, so the text is
+    byte-identical to the kernel decode — and the verify scan stays in
+    whole-stage codegen with no Python boundary (the clp_s-lite ClpString
+    corpora are int-only; measured ~0.55s -> ~0.1s per full-corpus
+    verify). Anything else falls back to encode_pipeline.decode."""
+    from clp_core_spark.functions.tokenizer import (
+        _parse_logtype_template,
+        PLACEHOLDER_INT,
+    )
+
+    rows = _lt_rows_cached(logtype_dict)
+    if rows is not None and 0 < len(rows) <= _JVM_DECODE_MAX_LOGTYPES:
+        templates = []
+        int_only = True
+        for lt, lid in rows:
+            consts, phs = _parse_logtype_template(lt)
+            if any(p != PLACEHOLDER_INT for p in phs):
+                int_only = False
+                break
+            templates.append((lid, consts, phs))
+        if int_only:
+            expr = None
+            for lid, consts, phs in templates:
+                parts = []
+                for j in range(len(phs)):
+                    if consts[j]:
+                        parts.append(F.lit(consts[j]))
+                    parts.append(
+                        F.element_at("encoded_vars", j + 1).cast("string")
+                    )
+                if consts[len(phs)]:
+                    parts.append(F.lit(consts[len(phs)]))
+                if not parts:
+                    parts = [F.lit("")]
+                text = parts[0] if len(parts) == 1 else F.concat(*parts)
+                cond = F.col("logtype_id") == F.lit(lid)
+                expr = (
+                    F.when(cond, text)
+                    if expr is None
+                    else expr.when(cond, text)
+                )
+            return df.withColumn("decoded_text", expr)
+    from clp_core_spark.operators import encode_pipeline
+
+    return encode_pipeline.decode(
+        df, logtype_dict, var_dict, key_cols,
+        var_dict_count=var_dict_count, slim_to_needed=slim_to_needed,
+    )
+
+
 def _subseq_predicate(vars_plan: list[QueryVarPlan]) -> Column:
     """Ordered non-contiguous subsequence of query vars within
     ``encoded_vars`` (clp/Query.cpp:150-173) as a JVM-side aggregate:
@@ -761,10 +847,8 @@ def search(
         # `!contains_sub_queries && !search_string_matches_all`).
         if compiled.search_string in ("", "*"):
             return df.select(*out_cols)
-        from clp_core_spark.operators import encode_pipeline
-
-        decoded = encode_pipeline.decode(
-            df, logtype_dict, var_dict, key_cols, var_dict_count=var_dict_count
+        decoded = _decode_for_verify(
+            df, logtype_dict, var_dict, key_cols, var_dict_count
         )
         pat = compiled.search_string
         col = F.col("decoded_text")
@@ -813,11 +897,9 @@ def search(
         # and wildcard-match against the processed query string; the
         # dictionary slims to the residue's own var IDs first, so big
         # dicts never shuffle/broadcast whole for a verify.
-        from clp_core_spark.operators import encode_pipeline
-
-        decoded = encode_pipeline.decode(
+        decoded = _decode_for_verify(
             candidates, logtype_dict, var_dict, key_cols,
-            var_dict_count=var_dict_count, slim_to_needed=True,
+            var_dict_count, slim_to_needed=True,
         )
         pat = compiled.search_string
         col = F.col("decoded_text")
