@@ -109,48 +109,21 @@ def _row_ordinals(row_pos: np.ndarray) -> np.ndarray:
     return np.arange(len(row_pos), dtype=np.int64) - np.repeat(starts, counts)
 
 
-def tokenize_frame(texts: pd.Series, include_var_strs: bool = True) -> pd.DataFrame:
-    """Tokenize + encode a batch of messages.
-
-    Returns a DataFrame aligned to ``texts.index`` with columns:
-
-    - ``logtype``: template string, placeholders embedded, constants escaped
-    - ``var_strs``: list[str], every variable in order of appearance
-      (omitted when ``include_var_strs=False`` — the encode pipeline never
-      reads it, and skipping it cuts the Arrow return payload)
-    - ``var_types``: list[int8], VT_INT / VT_FLOAT / VT_DICT per variable
-    - ``encoded``: list[int64] — CLP encoded variable per position; int
-      vars hold the value, float vars hold the 64-bit CLP float packing,
-      dict vars hold the 0-based ordinal of that dict var *within the row*
-      (replaced by the global dictionary ID after the dictionary join).
-    - ``dict_strs``: list[str], only the dictionary-variable strings in order
+def _tokenize_flat(tl: list[str]):
+    """Core of the tokenizer over a batch of plain strings. Returns None
+    when the batch produced no segments, else the FLAT result arrays
+    ``(n, logtype, var_rows, var_types, encoded_vals, var_np, is_dict_v)``
+    — per-row regrouping is left to the caller (python lists for the
+    pandas UDF path, ListArray offsets for the mapInArrow path).
 
     Hot path: ONE C regex pass over the NUL-joined batch (findall), then
     pyarrow compute (RE2, C++) for every per-segment classification and
-    the escape rewrite, then np.split-based per-row regrouping. No pandas
-    str ops (they are per-element Python re calls), no pandas groupby.
-    """
+    the escape rewrite. No pandas str ops (they are per-element Python
+    re calls), no pandas groupby."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    idx = texts.index
-    tl = [
-        x if isinstance(x, str) else ("" if x is None or x != x else str(x))
-        for x in texts.tolist()
-    ]
     n = len(tl)
-
-    def _empty() -> pd.DataFrame:
-        cols = {"logtype": pd.Series([""] * n, index=idx, dtype=object)}
-        if include_var_strs:
-            cols["var_strs"] = [[] for _ in range(n)]
-        cols.update(
-            var_types=[[] for _ in range(n)],
-            encoded=[[] for _ in range(n)],
-            dict_strs=[[] for _ in range(n)],
-        )
-        return pd.DataFrame(cols, index=idx)
-
     if any("\x00" in t for t in tl):
         # NUL would collide with the batch sentinel: fall back to a
         # per-row scan (rare — NUL bytes in log text).
@@ -163,12 +136,12 @@ def tokenize_frame(texts: pd.Series, include_var_strs: bool = True) -> pd.DataFr
                 d_list.append(d)
                 t_list.append(tk)
         if not d_list:
-            return _empty()
+            return None
         row_pos = np.asarray(seg_rows, dtype=np.int64)
     else:
         matches = _SEGMENT_BATCH_RE.findall("\x00".join(tl))
         if not matches:
-            return _empty()
+            return None
         d_list, t_list = zip(*matches)
         # Segments tile the sentinel-free concatenation, so cumulative
         # segment lengths against cumulative text lengths recover each
@@ -235,6 +208,43 @@ def tokenize_frame(texts: pd.Series, include_var_strs: bool = True) -> pd.DataFr
 
     logtype = _group_join(row_pos, seg_out, n)
     var_np = var_arr.to_numpy(zero_copy_only=False)
+    return n, logtype, var_rows, var_types, encoded_vals, var_np, is_dict_v
+
+
+def tokenize_frame(texts: pd.Series, include_var_strs: bool = True) -> pd.DataFrame:
+    """Tokenize + encode a batch of messages.
+
+    Returns a DataFrame aligned to ``texts.index`` with columns:
+
+    - ``logtype``: template string, placeholders embedded, constants escaped
+    - ``var_strs``: list[str], every variable in order of appearance
+      (omitted when ``include_var_strs=False`` — the encode pipeline never
+      reads it, and skipping it cuts the Arrow return payload)
+    - ``var_types``: list[int8], VT_INT / VT_FLOAT / VT_DICT per variable
+    - ``encoded``: list[int64] — CLP encoded variable per position; int
+      vars hold the value, float vars hold the 64-bit CLP float packing,
+      dict vars hold the 0-based ordinal of that dict var *within the row*
+      (replaced by the global dictionary ID after the dictionary join).
+    - ``dict_strs``: list[str], only the dictionary-variable strings in order
+    """
+    idx = texts.index
+    tl = [
+        x if isinstance(x, str) else ("" if x is None or x != x else str(x))
+        for x in texts.tolist()
+    ]
+    n = len(tl)
+    flat = _tokenize_flat(tl)
+    if flat is None:
+        cols = {"logtype": pd.Series([""] * n, index=idx, dtype=object)}
+        if include_var_strs:
+            cols["var_strs"] = [[] for _ in range(n)]
+        cols.update(
+            var_types=[[] for _ in range(n)],
+            encoded=[[] for _ in range(n)],
+            dict_strs=[[] for _ in range(n)],
+        )
+        return pd.DataFrame(cols, index=idx)
+    _, logtype, var_rows, var_types, encoded_vals, var_np, is_dict_v = flat
 
     cols = {"logtype": pd.Series(logtype, index=idx)}
     if include_var_strs:
@@ -245,6 +255,57 @@ def tokenize_frame(texts: pd.Series, include_var_strs: bool = True) -> pd.DataFr
         dict_strs=_group_lists(var_rows[is_dict_v], var_np[is_dict_v], n),
     )
     return pd.DataFrame(cols, index=idx)
+
+
+def tokenize_arrow_arrays(texts) -> list:
+    """Tokenize a pyarrow string array into the parsed columns as ARROW
+    arrays ``[logtype, var_types, encoded, dict_strs]`` (slim form) —
+    the mapInArrow fast path. Per-row list columns are built with
+    ``ListArray.from_arrays`` over the kernel's flat numpy outputs:
+    offsets come from one bincount+cumsum per column, so no per-element
+    Python lists are materialized and no pandas->Arrow reconversion
+    walks them afterwards (that conversion cost more than the kernel
+    itself at bench scale — ~205 CPU-s for an ~90 CPU-s kernel over
+    3.8M rows)."""
+    import pyarrow as pa
+
+    tl = [x if x is not None else "" for x in texts.to_pylist()]
+    n = len(tl)
+    flat = _tokenize_flat(tl)
+    if flat is None:
+        empty_offs = np.zeros(n + 1, dtype=np.int32)
+        return [
+            pa.array([""] * n, type=pa.string()),
+            pa.ListArray.from_arrays(
+                empty_offs, pa.array([], type=pa.int32())
+            ),
+            pa.ListArray.from_arrays(
+                empty_offs, pa.array([], type=pa.int64())
+            ),
+            pa.ListArray.from_arrays(
+                empty_offs, pa.array([], type=pa.string())
+            ),
+        ]
+    _, logtype, var_rows, var_types, encoded_vals, var_np, is_dict_v = flat
+
+    def offs(rows: np.ndarray) -> np.ndarray:
+        counts = np.bincount(rows, minlength=n)
+        out = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=out[1:])
+        return out.astype(np.int32)
+
+    var_offs = pa.array(offs(var_rows))
+    dict_offs = pa.array(offs(var_rows[is_dict_v]))
+    return [
+        pa.array(logtype, type=pa.string()),
+        pa.ListArray.from_arrays(
+            var_offs, pa.array(var_types.astype(np.int32))
+        ),
+        pa.ListArray.from_arrays(var_offs, pa.array(encoded_vals)),
+        pa.ListArray.from_arrays(
+            dict_offs, pa.array(var_np[is_dict_v], type=pa.string())
+        ),
+    ]
 
 
 # --- decoding ---------------------------------------------------------------

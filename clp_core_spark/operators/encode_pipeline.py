@@ -108,8 +108,35 @@ def parse(
             )
 
         udf = _schema_udf
+    elif slim:
+        # mapInArrow fast path: the parsed list columns are emitted as
+        # Arrow ListArrays built directly from the kernel's flat numpy
+        # outputs (offsets via bincount) — no per-row Python lists, no
+        # pandas->Arrow reconversion walking them. That conversion cost
+        # more than the tokenizer kernel itself at bench scale (guide
+        # §4.2: keep batch work in native code end to end).
+        import pyarrow as pa
+
+        full_schema = StructType(
+            df.schema.fields + list(PARSED_SCHEMA_SLIM.fields)
+        )
+        names = [f.name for f in full_schema.fields]
+        ti = df.columns.index(text_col)
+
+        def _parse_batches(batches):
+            from clp_core_spark.functions.tokenizer import (
+                tokenize_arrow_arrays,
+            )
+
+            for batch in batches:
+                extra = tokenize_arrow_arrays(batch.column(ti))
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns) + extra, names=names
+                )
+
+        return df.mapInArrow(_parse_batches, full_schema)
     else:
-        udf = _parse_slim_udf if slim else _parse_udf
+        udf = _parse_udf
     parsed = df.withColumn("_parsed", udf(F.col(text_col)))
     return parsed.select("*", "_parsed.*").drop("_parsed")
 
@@ -234,12 +261,24 @@ def encode(
         parsed = pre_parsed
     else:
         parsed = parse(df, text_col=text_col, slim=True, schema_spec=schema_spec)
+        if not keep_text:
+            # the raw text is never read again (decode reconstructs it);
+            # dropping it BEFORE the persist cuts the cached working set
+            # (~25% for short log lines) and the attendant GC churn
+            parsed = parsed.drop(text_col)
         # Parse once, feed the dict builds and the encode join.
         parsed = parsed.persist()
 
     logtype_dict = dictionaries.build_logtype_dict(
         parsed, existing_logtype_dict
     ).persist()
+    # Materialize the (tiny) logtype dict NOW: it is broadcast at least
+    # twice downstream (the encode join + any logtype-class routing), and
+    # concurrent broadcast builds in one job each re-ran the full
+    # distinct+rank subtree over the parsed corpus before the cache had
+    # materialized (REST stage audit: two 32-task/19-CPU-s stages for a
+    # 24-row dictionary). One bounded count pins the cache first.
+    logtype_dict.count()
 
     if var_id_mode == "hash":
         var_dict = dictionaries.build_var_dict_hash(parsed, existing_var_dict)

@@ -150,15 +150,38 @@ def write_glt_layout(
 
 def sink_counts(encoded: DataFrame) -> DataFrame:
     """Per-sink aggregate counts (the BASELINE equality gate):
-    one row per (sink_kind, sink_key)."""
-    parts = []
-    for kind in SINK_KINDS:
-        parts.append(
-            encoded.groupBy(F.coalesce(F.col(kind), F.lit("__null__")).alias("sink_key"))
-            .agg(F.count("*").alias("row_count"))
-            .withColumn("sink_kind", F.lit(kind))
+    one row per (sink_kind, sink_key).
+
+    One GROUPING SETS aggregation instead of three unioned groupBys: the
+    former plan scanned the (corpus-sized) input once per sink family;
+    grouping sets computes all three key spaces in a single scan + one
+    exchange (guide §2.4 — same rows out, one pass)."""
+    keyed = encoded.select(
+        *[
+            F.coalesce(F.col(kind), F.lit("__null__")).alias(kind)
+            for kind in SINK_KINDS
+        ]
+    )
+    gs = keyed.groupingSets(
+        [[k] for k in SINK_KINDS], *[F.col(k) for k in SINK_KINDS]
+    ).agg(
+        F.count("*").alias("row_count"),
+        *[F.grouping(k).alias(f"_g_{k}") for k in SINK_KINDS],
+    )
+    kind_expr = None
+    key_expr = None
+    for k in SINK_KINDS:
+        cond = F.col(f"_g_{k}") == 0
+        kind_expr = (
+            F.when(cond, F.lit(k)) if kind_expr is None
+            else kind_expr.when(cond, F.lit(k))
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("sink_kind", "sink_key", "row_count")
+        key_expr = (
+            F.when(cond, F.col(k)) if key_expr is None
+            else key_expr.when(cond, F.col(k))
+        )
+    return gs.select(
+        kind_expr.alias("sink_kind"),
+        key_expr.alias("sink_key"),
+        "row_count",
+    )
