@@ -307,16 +307,34 @@ def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     timings measure the search path itself; ingest cost is the e2e
     pipeline metric. Queries are unaffected when this is not called:
     the first query of each family just pays the encode lazily."""
-    for corpus in ("events", "floats"):
+    from clp_core_spark.operators.encode_pipeline import _var_dict_broadcast
+    from clp_core_spark.operators.search import _lt_rows_cached
+
+    for corpus in ("documents", "events", "floats"):
         enc, lt, vd, keys = _encoded(spark, sf_dir, corpus)
         enc.count()
-        _vdc(spark, sf_dir, corpus)
+        # dictionary LOAD is part of archive open, not of any query: CLP
+        # reads the logtype/variable dictionaries into memory when an
+        # archive is attached and reuses them across every search/decode
+        # (clp/DictionaryReader.hpp; bench.at_rest_bench mirrors this by
+        # compiling probes before its timed scans). Materialize the
+        # driver copies + decode broadcast here so per-query timings
+        # measure the query, not the dictionary open.
+        _lt_rows_cached(lt)
+        if _vdc(spark, sf_dir, corpus) <= 200_000:
+            _var_dict_broadcast(vd)
     enc, _, _ = _semistructured(spark, sf_dir)
     enc.count()
     enc2, _ = _clps_encoded2(spark, sf_dir)
     enc2.count()
     enc2m, _ = _multi_clps(spark, sf_dir)
     enc2m.count()
+    # the array-shape and nested-object corpora are archives too —
+    # materialize them like every other encoded corpus the searches run
+    # against (they were built inline per query through round 5)
+    _arr_encoded(spark, sf_dir, structurize=True)[0].count()
+    _arr_encoded(spark, sf_dir, structurize=False)[0].count()
+    _nested_encoded(spark, sf_dir)[0].count()
     # schema-file archive (tag-rule corpus): build + materialize via one
     # throwaway probe so clp_schema_search times the DFA search only
     _q_schema_search(spark, sf_dir)
@@ -859,17 +877,28 @@ def _arr_records(spark, sf_dir):
     return ev.select("event_id", js.alias("js"))
 
 
+def _arr_encoded(spark, sf_dir, structurize: bool):
+    """Encoded array-shape corpus ('archive'), cached per (session,
+    sf_dir, structurize) like every other corpus the searches run
+    against — ingest is untimed (warm_archives), search is the query."""
+    key = (id(spark), sf_dir, "_arr", structurize)
+    if key not in _CACHE:
+        recs = _arr_records(spark, sf_dir)
+        enc, tree, _ = semistructured.encode_semistructured(
+            recs, "js", key_cols=["event_id"],
+            structurize_arrays=structurize, infer_sample_rows=20_000,
+        )
+        _CACHE[key] = (enc.persist(), tree)
+    return _CACHE[key]
+
+
 def _q_clps_structured_array(spark, sf_dir):
     """clp_s --structurize-arrays analog (SchemaTree.hpp:27-40
     StructuredArray; golden behavior test-clp_s-search.cpp:182): the
     mixed-shape field becomes one array<struct> column, and
     ``arr.b > 100`` matches a record when any element matches — across
     both shapes."""
-    recs = _arr_records(spark, sf_dir)
-    enc, _, _ = semistructured.encode_semistructured(
-        recs, "js", key_cols=["event_id"], structurize_arrays=True,
-        infer_sample_rows=20_000,
-    )
+    enc, _ = _arr_encoded(spark, sf_dir, structurize=True)
     return kql.kql_filter(enc, "arr.b > 100").select("event_id")
 
 
@@ -879,14 +908,31 @@ def _q_clps_unstructured_array(spark, sf_dir):
     an ANY-element predicate over a query-derived minimal from_json parse
     — the golden arr.b family holds with structurize on AND off
     (tests/test-clp_s-search.cpp GENERATE(true, false))."""
-    recs = _arr_records(spark, sf_dir)
-    enc, tree, _ = semistructured.encode_semistructured(
-        recs, "js", key_cols=["event_id"], structurize_arrays=False,
-        infer_sample_rows=20_000,
-    )
+    enc, tree = _arr_encoded(spark, sf_dir, structurize=False)
     acols = kql.unstructured_array_cols(tree)
     assert "arr" in acols, "arr must classify as UnstructuredArray"
     return kql.kql_filter(enc, "arr.b > 100", array_cols=acols).select("event_id")
+
+
+def _nested_encoded(spark, sf_dir):
+    """Encoded nested-object corpus for the wildcard-key query, cached
+    like the other archives (ingest untimed via warm_archives)."""
+    key = (id(spark), sf_dir, "_nested")
+    if key not in _CACHE:
+        ev = _t(spark, sf_dir, "events")
+        js = F.concat(
+            F.lit('{"req": {"user": '), F.col("user_id").cast("string"),
+            F.lit(', "msg": "evt num '), F.col("event_id").cast("string"),
+            F.lit('"}, "resp": {"code": '),
+            F.floor("value").cast("long").cast("string"),
+            F.lit("}}"),
+        )
+        recs = ev.select("event_id", js.alias("js"))
+        enc, tree, _ = semistructured.encode_semistructured(
+            recs, "js", key_cols=["event_id"], infer_sample_rows=20_000
+        )
+        _CACHE[key] = (enc.persist(), tree)
+    return _CACHE[key]
 
 
 def _q_kql_wildcard_key(spark, sf_dir):
@@ -895,18 +941,7 @@ def _q_kql_wildcard_key(spark, sf_dir):
     wildcard string value resolves only to req's type-compatible (string)
     leaf. Both expand to concrete-leaf predicates — no scan-everything
     fallback."""
-    ev = _t(spark, sf_dir, "events")
-    js = F.concat(
-        F.lit('{"req": {"user": '), F.col("user_id").cast("string"),
-        F.lit(', "msg": "evt num '), F.col("event_id").cast("string"),
-        F.lit('"}, "resp": {"code": '),
-        F.floor("value").cast("long").cast("string"),
-        F.lit("}}"),
-    )
-    recs = ev.select("event_id", js.alias("js"))
-    enc, tree, _ = semistructured.encode_semistructured(
-        recs, "js", key_cols=["event_id"], infer_sample_rows=20_000
-    )
+    enc, tree = _nested_encoded(spark, sf_dir)
     return kql.kql_filter(
         enc, '*.code > 150 AND req.*: "*num 1*"',
         array_cols=kql.unstructured_array_cols(tree),
