@@ -307,7 +307,10 @@ def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     timings measure the search path itself; ingest cost is the e2e
     pipeline metric. Queries are unaffected when this is not called:
     the first query of each family just pays the encode lazily."""
-    from clp_core_spark.operators.encode_pipeline import _var_dict_broadcast
+    from clp_core_spark.operators.encode_pipeline import (
+        BROADCAST_VAR_DICT_MAX,
+        _var_dict_broadcast,
+    )
     from clp_core_spark.operators.search import _lt_rows_cached
 
     for corpus in ("documents", "events", "floats"):
@@ -321,7 +324,7 @@ def warm_archives(spark: SparkSession, sf_dir: str) -> None:
         # driver copies + decode broadcast here so per-query timings
         # measure the query, not the dictionary open.
         _lt_rows_cached(lt)
-        if _vdc(spark, sf_dir, corpus) <= 200_000:
+        if _vdc(spark, sf_dir, corpus) <= BROADCAST_VAR_DICT_MAX:
             _var_dict_broadcast(vd)
     enc, _, _ = _semistructured(spark, sf_dir)
     enc.count()

@@ -269,7 +269,12 @@ def tokenize_arrow_arrays(texts) -> list:
     3.8M rows)."""
     import pyarrow as pa
 
-    tl = [x if x is not None else "" for x in texts.to_pylist()]
+    # same coercion as tokenize_frame: non-string cells stringify, None
+    # and NaN become ""
+    tl = [
+        x if isinstance(x, str) else ("" if x is None or x != x else str(x))
+        for x in texts.to_pylist()
+    ]
     n = len(tl)
     flat = _tokenize_flat(tl)
     if flat is None:

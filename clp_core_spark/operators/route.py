@@ -131,7 +131,7 @@ def write_glt_layout(
     partitioner — big logtypes keep dedicated file ranges either way.
 
     ``row_group_bytes`` caps the parquet row-group size (default:
-    GLT_ROW_GROUP_BYTES = 16 MB; pass None for the writer's 128 MB).
+    GLT_ROW_GROUP_BYTES = 8 MB; pass None for the writer's 128 MB).
     Smaller row groups are the Spark-native form of CLP's bounded
     segment sizing (clp/streaming_archive/writer/Archive.hpp
     m_target_segment_uncompressed_size): each group is an independently

@@ -422,16 +422,13 @@ class DictProbes:
 
     def _logtype_rows(self):
         """Driver copy of the logtype dict, or False if it exceeds the
-        in-memory bound (fall back to distributed probes)."""
+        in-memory bound (fall back to distributed probes). Delegates to
+        the per-DataFrame cache so repeated query compiles against the
+        same dictionary share ONE collect job (CLP keeps logtype dicts
+        in memory for the session; warm_archives pre-warms this)."""
         if self._lt_rows is None:
-            head = self.logtype_dict.select("logtype", "logtype_id").limit(
-                self.LOGTYPE_DRIVER_MAX + 1
-            ).collect()
-            self._lt_rows = (
-                [(r["logtype"], int(r["logtype_id"])) for r in head]
-                if len(head) <= self.LOGTYPE_DRIVER_MAX
-                else False
-            )
+            rows = _lt_rows_cached(self.logtype_dict)
+            self._lt_rows = rows if rows is not None else False
         return self._lt_rows
 
     def _probe(self, df: DataFrame, value_col: str, id_col: str, pattern: str,

@@ -59,13 +59,30 @@ def _cosine_pair_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
     n = len(va)
     out = np.empty(n, dtype=object)
     va_np, vb_np = va.to_numpy(), vb.to_numpy()
-    idx = [
-        i for i in range(n) if va_np[i] is not None and vb_np[i] is not None
-    ]
-    if idx:
-        sel = idx if len(idx) < n else slice(None)
-        A = np.vstack(va_np[sel]).astype(np.float64)
-        B = np.vstack(vb_np[sel]).astype(np.float64)
+    la = np.fromiter(
+        (len(x) if x is not None else -1 for x in va_np), dtype=np.int64,
+        count=n,
+    )
+    lb = np.fromiter(
+        (len(x) if x is not None else -2 for x in vb_np), dtype=np.int64,
+        count=n,
+    )
+    # mismatched-length pairs: the JVM form's zip_with pads with null and
+    # the null-poisoned denom falls through when().otherwise(0.0) — keep
+    # that 0.0 instead of letting vstack raise on ragged input
+    ragged = (la != lb) & (la >= 0) & (lb >= 0)
+    for i in np.nonzero(ragged)[0]:
+        out[i] = 0.0
+    # vectorize per distinct (equal) vector length
+    eq = la == lb
+    for length in np.unique(la[eq]):
+        if length < 0:
+            continue  # null vector on either side -> stays None
+        idx = np.nonzero(eq & (la == length))[0]
+        if not len(idx):
+            continue
+        A = np.vstack(va_np[idx]).astype(np.float64)
+        B = np.vstack(vb_np[idx]).astype(np.float64)
         dot = np.zeros(len(idx), dtype=np.float64)
         na = np.zeros(len(idx), dtype=np.float64)
         nb = np.zeros(len(idx), dtype=np.float64)

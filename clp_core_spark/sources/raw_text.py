@@ -82,9 +82,15 @@ _PATTERNS = [
 # 33 pandas str.extract passes (each a per-row Python re call; the bank
 # walk dominated raw-text ingest at bench scale: ~3.5s -> ~0.4s per 100k
 # lines). Branch i owns capture groups (2i+1, 2i+2) — every bank regex
-# is capture-free (asserted below), so numbering is positional.
+# must stay capture-free for positional numbering, enforced with a real
+# raise (python -O strips asserts) at import time.
 for _i in range(len(_PATTERNS)):
-    assert _PATTERNS[_i][0].groups == 2, "bank pattern grew capture groups"
+    if _PATTERNS[_i][0].groups != 2:
+        raise RuntimeError(
+            f"timestamp bank pattern {_i} carries capture groups; "
+            "_parse_lines' combined-alternation branch numbering requires "
+            "exactly (prefix)(ts) per pattern"
+        )
 _COMBINED_RE = re.compile(
     "^(?:"
     + "|".join(anchored_pattern_regex(i)[1:] for i in range(len(COMPILED)))

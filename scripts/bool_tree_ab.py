@@ -185,6 +185,11 @@ def main() -> int:
             "hits": new_n,
         }
     print(json.dumps(out))
+    # committed evidence artifact (round-5 verdict, Wrong #4 / next #5):
+    # headline measurements live in BENCH/*.json, not prose from /tmp logs
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/bool_tree_ab.json", "w") as f:
+        json.dump(out, f, indent=1)
     spark.stop()
     return 0
 

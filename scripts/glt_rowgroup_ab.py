@@ -137,6 +137,11 @@ def main() -> None:
         r = out["glt_rg"][f"{qname}_sec"]
         out[f"{qname}_default_over_rg"] = round(d / r, 2) if r > 0 else None
     print(json.dumps(out))
+    # committed evidence artifact (round-5 verdict, Wrong #4 / next #5):
+    # headline measurements live in BENCH/*.json, not prose from /tmp logs
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/glt_rowgroup_ab.json", "w") as f:
+        json.dump(out, f, indent=1)
     spark.stop()
 
 
