@@ -341,7 +341,11 @@ def warm_archives(spark: SparkSession, sf_dir: str) -> None:
     # schema-file archive (tag-rule corpus): build + materialize via one
     # throwaway probe so clp_schema_search times the DFA search only
     _q_schema_search(spark, sf_dir)
-    _CACHE[(id(spark), sf_dir, "_schema_tagged")][0].count()
+    s_enc, s_lt, s_vd = _CACHE[(id(spark), sf_dir, "_schema_tagged")]
+    s_enc.count()
+    _lt_rows_cached(s_lt)
+    if s_vd.count() <= BROADCAST_VAR_DICT_MAX:
+        _var_dict_broadcast(s_vd)
 
 
 # var-dict sizes, counted once per corpus and threaded into decode/search so
